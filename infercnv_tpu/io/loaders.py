@@ -1,0 +1,145 @@
+"""File ingestion: counts matrices, gene-order files, annotation files.
+
+Analogue of the input-parsing half of ``CreateInfercnvObject``
+(reference R/inferCNV.R:146-198): tab-separated counts (optionally gzipped),
+a 4-column gene order file (gene, chr, start, stop), and a 2-column
+cell-annotation file.  Also supports 10x-style MTX triplets.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from infercnv_tpu.core.object import InferCNV, create_infercnv_object
+from infercnv_tpu.utils.logging import log_info
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def read_counts_matrix(path: str, sep: str = "\t") -> Tuple[np.ndarray, List[str], List[str]]:
+    """Read a genes x cells counts table. Returns (matrix [G, C], gene_names, cell_names)."""
+    log_info(f"Reading counts matrix: {path}")
+    with _open(path) as f:
+        header = f.readline().rstrip("\n").split(sep)
+        # header may or may not carry a leading corner label
+        first = f.readline().rstrip("\n").split(sep)
+        ncols = len(first) - 1
+        if len(header) == ncols:
+            cell_names = header
+        else:
+            cell_names = header[1:]
+        gene_names = [first[0]]
+        rows = [np.array(first[1:], np.float64)]
+        for line in f:
+            parts = line.rstrip("\n").split(sep)
+            if len(parts) < 2:
+                continue
+            gene_names.append(parts[0])
+            rows.append(np.array(parts[1:], np.float64))
+    mat = np.vstack(rows)
+    log_info(f"-counts matrix: {mat.shape[0]} genes x {mat.shape[1]} cells")
+    return mat, gene_names, cell_names
+
+
+def read_gene_order_file(path: str) -> Tuple[Dict[str, Tuple[str, int, int]], List[str]]:
+    """Read gene-order file (gene, chr, start, stop).
+
+    Returns (gene -> (chr, start, stop), chromosome names in file order).
+    """
+    table: Dict[str, Tuple[str, int, int]] = {}
+    chr_order: List[str] = []
+    seen = set()
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 4 or parts[0] == "":
+                continue
+            g, chrom, start, stop = parts[0], parts[1], parts[2], parts[3]
+            table[g] = (chrom, int(float(start)), int(float(stop)))
+            if chrom not in seen:
+                seen.add(chrom)
+                chr_order.append(chrom)
+    return table, chr_order
+
+
+def read_annotations_file(path: str) -> Dict[str, str]:
+    """Read a 2-column (cell, group) annotation file."""
+    ann: Dict[str, str] = {}
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0]:
+                ann[parts[0]] = parts[1]
+    return ann
+
+
+def read_mtx(matrix_path: str, features_path: str, barcodes_path: str) -> Tuple[np.ndarray, List[str], List[str]]:
+    """Read a 10x-style MTX triplet into a dense [G, C] matrix."""
+    with _open(features_path) as f:
+        gene_names = [l.split("\t")[0].strip() for l in f if l.strip()]
+    with _open(barcodes_path) as f:
+        cell_names = [l.strip() for l in f if l.strip()]
+    with _open(matrix_path) as f:
+        header_done = False
+        mat = None
+        for line in f:
+            if line.startswith("%"):
+                continue
+            parts = line.split()
+            if not header_done:
+                g, c, _nnz = int(parts[0]), int(parts[1]), int(parts[2])
+                mat = np.zeros((g, c), np.float64)
+                header_done = True
+                continue
+            i, j, v = int(parts[0]) - 1, int(parts[1]) - 1, float(parts[2])
+            mat[i, j] = v
+    if mat is None:
+        raise ValueError(f"empty mtx file: {matrix_path}")
+    return mat, gene_names, cell_names
+
+
+def load_infercnv_object(
+    counts_path: str,
+    gene_order_path: str,
+    annotations_path: str,
+    ref_group_names: Sequence[str],
+    chr_exclude: Sequence[str] = ("chrX", "chrY", "chrM"),
+    min_max_counts_per_cell: Tuple[float, float] = (100.0, float("inf")),
+    max_cells_per_group=None,
+) -> InferCNV:
+    """One-call ingestion mirroring CreateInfercnvObject on file paths."""
+    mat, gene_names, cell_names = read_counts_matrix(counts_path)
+    table, chr_order = read_gene_order_file(gene_order_path)
+    ann = read_annotations_file(annotations_path)
+    return create_infercnv_object(
+        counts_matrix=mat,
+        gene_names=gene_names,
+        cell_names=cell_names,
+        annotations=ann,
+        gene_order_table=table,
+        chr_file_order=chr_order,
+        ref_group_names=ref_group_names,
+        chr_exclude=chr_exclude,
+        min_max_counts_per_cell=min_max_counts_per_cell,
+        max_cells_per_group=max_cells_per_group,
+    )
+
+
+def load_bundled_example() -> InferCNV:
+    """Load the oligodendroglioma example bundled with the reference
+    (reference example/run.R:8-25, inst/extdata/*)."""
+    base = os.environ.get("INFERCNV_REFERENCE_DIR", "/root/reference")
+    return load_infercnv_object(
+        counts_path=os.path.join(base, "inst/extdata/oligodendroglioma_expression_downsampled.counts.matrix.gz"),
+        gene_order_path=os.path.join(base, "inst/extdata/gencode_downsampled.EXAMPLE_ONLY_DONT_REUSE.txt"),
+        annotations_path=os.path.join(base, "inst/extdata/oligodendroglioma_annotations_downsampled.txt"),
+        ref_group_names=["Microglia/Macrophage", "Oligodendrocytes (non-malignant)"],
+    )
