@@ -1,0 +1,161 @@
+"""The hidden spike-in ("hspike") — a synthetic calibration dataset.
+
+reference: R/inferCNV_hidden_spike.R (.build_and_add_hspike :3-165,
+.get_hspike_chr_info :170-215).  A fake genome of 11 chromosomes alternates
+neutral regions with CNV levels {0.01, 0.5, 1.5, 2, 3}; per reference group,
+100 'simnorm' cells and 100 'spike_tumor' cells are simulated from gene
+means sampled off the real normal cells, with CNV chromosomes' means
+multiplied by the CNV factor.  The hspike object then rides through every
+pipeline op exactly like the real data (load-bearing invariant), and the
+residual intensities of its spiked chromosomes calibrate the i6 HMM
+emissions (models/emission.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import numpy as np
+
+from infercnv_tpu.core.genome import GeneOrder
+from infercnv_tpu.core.object import InferCNV
+from infercnv_tpu.ops.transforms import normalize_counts_by_seq_depth
+from infercnv_tpu.sim.meanvar import (
+    fit_dropout_spline,
+    fit_mean_var_spline,
+    get_mean_var_table,
+    get_mean_vs_p0_table,
+    simulate_meanvar_counts,
+    simulate_simple_counts,
+)
+from infercnv_tpu.utils.logging import log_info
+
+HSPIKE_NUM_CELLS = 100
+HSPIKE_GENES_PER_CHR = 400
+
+
+def hspike_chr_info(num_genes_each: int, num_total: int) -> List[Tuple[str, float, int]]:
+    """(name, cnv_level, ngenes) per fake chromosome
+    (reference .get_hspike_chr_info :170-215)."""
+    num_remaining = num_total - 10 * num_genes_each
+    if num_remaining < num_genes_each:
+        num_remaining = num_genes_each
+    return [
+        ("chrA", 1.0, num_genes_each),
+        ("chr_0", 0.01, num_genes_each),
+        ("chr_B", 1.0, num_genes_each),
+        ("chr_0pt5", 0.5, num_genes_each),
+        ("chr_C", 1.0, num_genes_each),
+        ("chr_1pt5", 1.5, num_genes_each),
+        ("chr_D", 1.0, num_genes_each),
+        ("chr_2pt0", 2.0, num_genes_each),
+        ("chr_E", 1.0, num_genes_each),
+        ("chr_3pt0", 3.0, num_genes_each),
+        ("chr_F", 1.0, num_remaining),
+    ]
+
+
+def build_hspike(
+    obj: InferCNV,
+    sim_method: str = "meanvar",
+    aggregate_normals: bool = False,
+    seed: int = 12345,
+) -> InferCNV:
+    """Build the hspike child object from `obj` (whose expr must already be
+    depth-normalized, as in run() step 3 — reference inferCNV_ops.R:588-590).
+    """
+    log_info("Adding h-spike")
+    if obj.has_reference_cells():
+        if aggregate_normals:
+            normal_lists = {"normalsToUse": obj.all_ref_idx()}
+        else:
+            normal_lists = {k: np.asarray(v) for k, v in obj.ref_groups.items()}
+    else:
+        normal_lists = {"normalsToUse": obj.all_obs_idx()}
+        log_info("-no normals defined, using all observation cells as proxy")
+
+    chr_info = hspike_chr_info(HSPIKE_GENES_PER_CHR, obj.num_genes)
+    chr_names = tuple(c[0] for c in chr_info)
+    chr_ids = np.concatenate([np.full(c[2], i, np.int32) for i, c in enumerate(chr_info)])
+    starts = np.concatenate([np.arange(1, c[2] + 1) for c in chr_info])
+    num_genes = chr_ids.shape[0]
+    gene_order = GeneOrder(
+        names=tuple(f"gene_{i+1}" for i in range(num_genes)),
+        chr_names=chr_names, chr_ids=chr_ids, start=starts, stop=starts,
+    )
+    cnv_factor = np.concatenate(
+        [np.full(c[2], c[1], np.float64) for c in chr_info]
+    )
+
+    key = jax.random.PRNGKey(seed)
+    key, k_idx = jax.random.split(key)
+    genes_means_use_idx = np.asarray(
+        jax.random.randint(k_idx, (num_genes,), 0, obj.num_genes)
+    )
+
+    # mean-variance / dropout trends from ALL cell groups of the real object
+    # (reference .get_mean_var_table via the full infercnv_obj)
+    all_groups = list(obj.obs_groups.values()) + list(obj.ref_groups.values())
+    m_tab, v_tab = get_mean_var_table(obj.expr, all_groups)
+    mv_spline = fit_mean_var_spline(m_tab, v_tab)
+    m0_tab, p0_tab = get_mean_vs_p0_table(obj.expr, all_groups)
+    dropout_spline = fit_dropout_spline(m0_tab, p0_tab)
+
+    sim_blocks: List[np.ndarray] = []
+    ref_groups: Dict[str, np.ndarray] = {}
+    obs_groups: Dict[str, np.ndarray] = {}
+    cell_names: List[str] = []
+    cell_counter = 0
+    median_norm_libsize = None
+
+    for normal_type, normal_idx in normal_lists.items():
+        log_info(f"-hspike modeling of {normal_type}")
+        normal_expr = obj.expr[np.asarray(normal_idx)]  # [n_norm, G]
+        gene_means = normal_expr.mean(axis=0)[genes_means_use_idx]
+        gene_means = np.where(gene_means == 0, 1e-3, gene_means)
+        if median_norm_libsize is None:
+            median_norm_libsize = float(np.median(normal_expr.sum(axis=1)))
+
+        hspike_gene_means = gene_means * cnv_factor
+
+        key, k1, k2 = jax.random.split(key, 3)
+        if sim_method == "meanvar":
+            sim_norm = simulate_meanvar_counts(k1, gene_means, mv_spline,
+                                               HSPIKE_NUM_CELLS, dropout_spline)
+            sim_tumor = simulate_meanvar_counts(k2, hspike_gene_means, mv_spline,
+                                                HSPIKE_NUM_CELLS, dropout_spline)
+        elif sim_method == "simple":
+            sim_norm = simulate_simple_counts(k1, gene_means, HSPIKE_NUM_CELLS,
+                                              0.1, dropout_spline)
+            sim_tumor = simulate_simple_counts(k2, hspike_gene_means, HSPIKE_NUM_CELLS,
+                                               0.1, dropout_spline)
+        else:
+            raise ValueError(f"sim_method {sim_method!r} not supported (use meanvar/simple)")
+
+        norm_name = f"simnorm_cell_{normal_type}"
+        tumor_name = f"spike_tumor_cell_{normal_type}"
+        sim_blocks.append(np.asarray(sim_norm))
+        sim_blocks.append(np.asarray(sim_tumor))
+        ref_groups[norm_name] = np.arange(cell_counter, cell_counter + HSPIKE_NUM_CELLS)
+        cell_names += [f"{norm_name}{i+1}" for i in range(HSPIKE_NUM_CELLS)]
+        cell_counter += HSPIKE_NUM_CELLS
+        obs_groups[tumor_name] = np.arange(cell_counter, cell_counter + HSPIKE_NUM_CELLS)
+        cell_names += [f"{tumor_name}{i+1}" for i in range(HSPIKE_NUM_CELLS)]
+        cell_counter += HSPIKE_NUM_CELLS
+
+    counts = np.concatenate(sim_blocks, axis=0).astype(np.float32)  # [C_spike, G]
+    hspike = InferCNV(
+        expr=counts,
+        counts=counts.copy(),
+        gene_order=gene_order,
+        cell_names=cell_names,
+        ref_groups=ref_groups,
+        obs_groups=obs_groups,
+    )
+    hspike.validate()
+    # same target counts/cell as the real normals (reference :160)
+    hspike.expr = np.asarray(
+        normalize_counts_by_seq_depth(hspike.expr, median_norm_libsize)
+    )
+    return hspike

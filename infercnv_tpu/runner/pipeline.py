@@ -1,0 +1,490 @@
+"""The run() pipeline driver — the reference's 23-step orchestrator
+(R/inferCNV_ops.R:242-1652) rebuilt around functional JAX ops.
+
+Every L1 op is mirrored onto the hspike child object when present (the
+reference's load-bearing invariant for HMM emission calibration, e.g.
+inferCNV_ops.R:1695-1698, 2427-2430, 2762-2765) — here via `_mirrored`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from infercnv_tpu.core.object import InferCNV
+from infercnv_tpu.models import hmm as hmm_mod
+from infercnv_tpu.models.hspike import build_hspike
+from infercnv_tpu.ops import transforms as T
+from infercnv_tpu.ops.smoothing import (
+    smooth_by_chromosome,
+    smooth_by_chromosome_coordinates,
+)
+from infercnv_tpu.report.regions import generate_cnv_region_reports
+from infercnv_tpu.runner import checkpoint as ckpt
+from infercnv_tpu.runner.config import RunConfig
+from infercnv_tpu.subcluster.partition import define_tumor_subclusters, split_references
+from infercnv_tpu.utils.logging import log_info, log_warn, set_debug
+
+
+class RunResult:
+    """Outputs of run(): the final denoised object, plus HMM products."""
+
+    def __init__(self):
+        self.infercnv_obj: Optional[InferCNV] = None
+        self.hmm_states: Optional[np.ndarray] = None          # [C, G] 1-based
+        self.hmm_proxy_values: Optional[np.ndarray] = None    # [C, G] CNV levels
+        self.hmm_gene_order = None
+        self.subclusters_per_chr = None
+        self.bayes_result = None
+        self.region_reports = None
+
+
+def _mirrored(obj: InferCNV, fn, *args, **kwargs) -> None:
+    """Apply an expr->expr op to obj and (recursively) its hspike."""
+    obj.expr = np.asarray(fn(obj.expr, *args, **kwargs))
+    if obj.hspike is not None:
+        _mirrored(obj.hspike, fn, *args, **kwargs)
+
+
+def _subtract_ref(obj: InferCNV, inv_log: bool, use_bounds: bool) -> None:
+    """reference subtract_ref_expr_from_obs (inferCNV_ops.R:1678-1702):
+    refless fallback uses the mean over all (observation) cells."""
+    if obj.has_reference_cells():
+        groups = list(obj.ref_groups.values())
+    else:
+        groups = [obj.all_obs_idx()]
+    M = T.group_onehot(groups, obj.num_cells)
+    means = T.ref_group_gene_means(obj.expr, M, inv_log=inv_log)
+    obj.expr = np.asarray(T.subtract_ref_expr(obj.expr, means, use_bounds=use_bounds))
+    if obj.hspike is not None:
+        _subtract_ref(obj.hspike, inv_log, use_bounds)
+
+
+def _smooth(obj: InferCNV, cfg: RunConfig) -> None:
+    if cfg.smooth_method == "pyramidinal":
+        obj.expr = np.asarray(smooth_by_chromosome(obj.expr, obj.gene_order, cfg.window_length, "pyramidinal"))
+    elif cfg.smooth_method == "runmeans":
+        obj.expr = np.asarray(smooth_by_chromosome(obj.expr, obj.gene_order, cfg.window_length, "runmeans"))
+    elif cfg.smooth_method == "coordinates":
+        obj.expr = np.asarray(smooth_by_chromosome_coordinates(obj.expr, obj.gene_order, cfg.window_length))
+    if obj.hspike is not None:
+        # hspike always uses gene-window smoothing (fake genome positions);
+        # coordinates mode mirrors with window 51 (reference :2421-2424)
+        h = obj.hspike
+        if cfg.smooth_method == "coordinates":
+            h.expr = np.asarray(smooth_by_chromosome(h.expr, h.gene_order, 51, "pyramidinal"))
+        else:
+            method = "runmeans" if cfg.smooth_method == "runmeans" else "pyramidinal"
+            h.expr = np.asarray(smooth_by_chromosome(h.expr, h.gene_order, cfg.window_length, method))
+
+
+def _remove_genes_at_chr_ends(obj: InferCNV, window_length: int) -> None:
+    drop = T.genes_at_chr_ends(obj.gene_order, window_length)
+    if drop.size == 0:
+        raise RuntimeError("No genes removed at chr ends ... something wrong here")
+    obj.remove_genes(drop)
+    if obj.hspike is not None:
+        _remove_genes_at_chr_ends(obj.hspike, window_length)
+
+
+def _clear_noise(obj: InferCNV, cfg: RunConfig) -> None:
+    """Step 22 (reference :1559-1615).  Not mirrored onto hspike."""
+    if cfg.noise_filter is not None:
+        if cfg.noise_filter > 0:
+            if obj.has_reference_cells():
+                center = float(obj.expr[obj.all_ref_idx()].mean())
+            else:
+                center = float(obj.expr.mean())
+            if cfg.noise_logistic:
+                obj.expr = np.asarray(T.depress_log_signal_midpt_val(obj.expr, center, cfg.noise_filter))
+            else:
+                obj.expr = np.asarray(T.clear_noise(obj.expr, cfg.noise_filter, center))
+    else:
+        ref_idx = obj.all_ref_idx() if obj.has_reference_cells() else obj.all_obs_idx()
+        if cfg.noise_logistic:
+            center, spread = T.ref_mean_sd_bounds(obj.expr, ref_idx, cfg.sd_amplifier)
+            obj.expr = np.asarray(T.depress_log_signal_midpt_val(obj.expr, float(center), float(spread)))
+        else:
+            obj.expr = np.asarray(T.clear_noise_via_ref_mean_sd(obj.expr, ref_idx, cfg.sd_amplifier))
+
+
+def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
+    """Run the full pipeline.  kwargs mirror the reference run() arguments
+    (see RunConfig).  Returns a RunResult."""
+    cfg = RunConfig(out_dir=out_dir, **kwargs)
+    cfg.validate()
+    if cfg.debug:
+        set_debug(True)
+    if cfg.out_dir is None:
+        raise ValueError("Error, out_dir is NULL, please provide a path")
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    result = RunResult()
+    obj = obj.copy()
+
+    resume_token = f".HMM{cfg.HMM_type}" if cfg.HMM else ""
+    cum_args = ckpt.relevant_args_by_step(cfg)
+
+    skip_past = 0
+    if cfg.resume_mode and cfg.save_rds:
+        step, restored, _states = ckpt.scan_resume(
+            cfg.out_dir, cfg, resume_token, obj.options.get("counts_md5"))
+        if step > 0 and step <= 16:
+            obj = restored
+            skip_past = step
+
+    def save(step: int, states: Optional[np.ndarray] = None) -> None:
+        if cfg.save_rds and skip_past < step:
+            path = os.path.join(cfg.out_dir, ckpt.step_filename(step, resume_token))
+            ckpt.save_step(obj, path, cum_args[step - 1], states)
+
+    def done(step: int) -> bool:
+        return cfg.up_to_step == step
+
+    # STEP 1: incoming data
+    log_info("STEP 1: incoming data")
+    save(1)
+    if done(1):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 2: gene filters
+    if skip_past < 2:
+        log_info("STEP 02: Removing lowly expressed genes")
+        drop = T.below_min_mean_expr_cutoff(obj.expr, cfg.cutoff)
+        if drop.size:
+            log_info(f"Removing {drop.size} genes below mean expr threshold {cfg.cutoff}")
+            obj.remove_genes(drop)
+        n_before = obj.num_genes
+        drop = T.genes_below_min_cells_ref(obj.expr, cfg.min_cells_per_gene)
+        if drop.size == n_before:
+            raise RuntimeError("All genes removed! Must revisit your data, cannot continue")
+        if drop.size:
+            log_info(f"Removed {drop.size} genes with fewer than {cfg.min_cells_per_gene} cells expressing")
+            obj.remove_genes(drop)
+        save(2)
+    if done(2):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 3: depth normalization (+ hspike build)
+    if skip_past < 3:
+        log_info("STEP 03: normalization by sequencing depth")
+        obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
+        if cfg.HMM and cfg.HMM_type == "i6":
+            obj.hspike = build_hspike(obj, sim_method=cfg.sim_method,
+                                      aggregate_normals=cfg.hspike_aggregate_normals,
+                                      seed=cfg.seed)
+        save(3)
+    if done(3):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 4: log transform
+    if skip_past < 4:
+        log_info("STEP 04: log transformation of data")
+        _mirrored(obj, T.log2xplus1)
+        save(4)
+    if done(4):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 5: optional z-scaling
+    if cfg.scale_data and skip_past < 5:
+        log_info("STEP 05: scaling all expression data")
+        _mirrored(obj, T.scale_infercnv_expr)
+        save(5)
+    if done(5):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 6: optional reference splitting
+    if cfg.num_ref_groups is not None and skip_past < 6:
+        if not obj.has_reference_cells():
+            raise ValueError("no reference cells defined; cannot split into groups")
+        log_info(f"STEP 06: splitting reference data into {cfg.num_ref_groups} clusters")
+        split_references(obj, cfg.num_ref_groups, "complete")
+        save(6)
+    if done(6):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 7: random_trees subclustering happens pre-residual (reference :716-756)
+    if (cfg.analysis_mode == "subclusters"
+            and cfg.tumor_subcluster_partition_method == "random_trees"
+            and skip_past < 7):
+        log_info("STEP 07: computing tumor subclusters via random_trees")
+        define_tumor_subclusters(
+            obj, p_val=cfg.tumor_subcluster_pval, hclust_method=cfg.hclust_method,
+            cluster_by_groups=cfg.cluster_by_groups, partition_method="random_trees",
+            z_score_filter=cfg.z_score_filter, seed=cfg.seed,
+        )
+        save(7)
+    if done(7):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 8: subtract reference profile (log space)
+    if skip_past < 8:
+        log_info("STEP 08: removing average of reference data (before smoothing)")
+        _subtract_ref(obj, inv_log=False, use_bounds=cfg.ref_subtract_use_mean_bounds)
+        save(8)
+    if done(8):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 9: max centered threshold
+    if cfg.max_centered_threshold is not None and skip_past < 9:
+        threshold = cfg.max_centered_threshold
+        if isinstance(threshold, str) and threshold == "auto":
+            lo, hi = T.get_average_bounds(obj.expr)
+            threshold = float(np.mean(np.abs([float(lo), float(hi)])))
+            log_info(f"Setting max centered thresholds via auto to: +- {threshold:g}")
+        log_info(f"STEP 09: apply max centered expression threshold: {threshold}")
+        _mirrored(obj, T.apply_max_threshold_bounds, float(threshold))
+        save(9)
+    if done(9):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 10: smoothing (hot loop #1)
+    if skip_past < 10:
+        log_info(f"STEP 10: Smoothing data per cell by chromosome ({cfg.smooth_method})")
+        _smooth(obj, cfg)
+        save(10)
+    if done(10):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 11: re-center cells
+    if skip_past < 11:
+        log_info("STEP 11: re-centering data across chromosome after smoothing")
+        _mirrored(obj, T.center_cells, "median")
+        save(11)
+    if done(11):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 12: subtract reference again
+    if skip_past < 12:
+        log_info("STEP 12: removing average of reference data (after smoothing)")
+        _subtract_ref(obj, inv_log=False, use_bounds=cfg.ref_subtract_use_mean_bounds)
+        save(12)
+    if done(12):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 13: optional chromosome-end trimming
+    if (cfg.remove_genes_at_chr_ends and cfg.smooth_method != "coordinates"
+            and skip_past < 13):
+        log_info("STEP 13: removing genes at chr ends")
+        _remove_genes_at_chr_ends(obj, cfg.window_length)
+        save(13)
+    if done(13):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 14: invert log2 (log FC -> FC)
+    if skip_past < 14:
+        log_info("STEP 14: invert log2(FC) to FC")
+        _mirrored(obj, T.invert_log2)
+        save(14)
+    if done(14):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 15: subclustering (leiden default) / plain clustering
+    subclusters_per_chr = None
+    if skip_past < 15:
+        if (cfg.analysis_mode == "subclusters"
+                and cfg.tumor_subcluster_partition_method != "random_trees"):
+            log_info(f"STEP 15: computing tumor subclusters via {cfg.tumor_subcluster_partition_method}")
+            subclusters_per_chr = define_tumor_subclusters(
+                obj,
+                p_val=cfg.tumor_subcluster_pval,
+                k_nn=cfg.k_nn,
+                leiden_method=cfg.leiden_method,
+                leiden_function=cfg.leiden_function,
+                leiden_resolution=cfg.leiden_resolution,
+                leiden_method_per_chr=cfg.leiden_method_per_chr,
+                leiden_function_per_chr=cfg.leiden_function_per_chr,
+                leiden_resolution_per_chr=cfg.leiden_resolution_per_chr,
+                hclust_method=cfg.hclust_method,
+                cluster_by_groups=cfg.cluster_by_groups,
+                partition_method=cfg.tumor_subcluster_partition_method,
+                per_chr_hmm_subclusters=cfg.per_chr_hmm_subclusters,
+                per_chr_hmm_subclusters_references=cfg.per_chr_hmm_subclusters_references,
+                z_score_filter=cfg.z_score_filter,
+                seed=cfg.seed,
+            )
+        elif cfg.analysis_mode != "subclusters":
+            log_info("STEP 15: Clustering samples (not defining tumor subclusters)")
+            define_tumor_subclusters(
+                obj, p_val=cfg.tumor_subcluster_pval, hclust_method=cfg.hclust_method,
+                cluster_by_groups=cfg.cluster_by_groups, partition_method="none",
+                z_score_filter=cfg.z_score_filter, seed=cfg.seed,
+            )
+        save(15)
+        result.subclusters_per_chr = subclusters_per_chr
+        # milestone: preliminary object
+        if cfg.save_rds:
+            ckpt.save_step(obj, os.path.join(cfg.out_dir, "preliminary.infercnv_obj.npz"),
+                           cum_args[14])
+    if done(15):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 16: optional outlier pruning
+    if cfg.prune_outliers and skip_past < 16:
+        log_info("STEP 16: Removing outliers")
+        obj.expr = np.asarray(T.remove_outliers_norm(
+            obj.expr, cfg.outlier_method_bound,
+            cfg.outlier_lower_bound, cfg.outlier_upper_bound))
+        if obj.hspike is not None:
+            obj.hspike.expr = np.asarray(T.remove_outliers_norm(
+                obj.hspike.expr, cfg.outlier_method_bound,
+                cfg.outlier_lower_bound, cfg.outlier_upper_bound))
+        save(16)
+    if done(16):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 17: HMM CNV prediction (hot loop #2)
+    hmm_states = None
+    hmm_resume_token = f"{resume_token}.hmm_mode-{cfg.analysis_mode}"
+    if cfg.HMM:
+        log_info("STEP 17: HMM-based CNV prediction")
+        if cfg.HMM_type == "i6":
+            cnv_mean_sd = hmm_mod.get_spike_dists(obj.hspike)
+            trend_fits = hmm_mod.cnv_mean_sd_trend_fit(obj.hspike, seed=cfg.seed)
+            params = hmm_mod.i6_hmm_params(cnv_mean_sd, t=cfg.HMM_transition_prob)
+            neutral = hmm_mod.NEUTRAL_STATE_I6
+        else:
+            params = hmm_mod.i3_hmm_params(
+                obj.expr, list(obj.ref_groups.values()), list(obj.obs_groups.values()),
+                t=cfg.HMM_transition_prob, i3_p_val=cfg.HMM_i3_pval,
+                use_KS=cfg.HMM_i3_use_KS)
+            trend_fits = None
+            neutral = hmm_mod.NEUTRAL_STATE_I3
+
+        if cfg.analysis_mode == "subclusters":
+            groups: Dict[str, np.ndarray] = {}
+            if obj.tumor_subclusters is not None:
+                for _g, subs in obj.tumor_subclusters["subclusters"].items():
+                    groups.update(subs)
+            if not groups:
+                log_warn("No subclusters defined, running on whole samples")
+                groups = {**obj.obs_groups, **obj.ref_groups}
+            hmm_states = hmm_mod.predict_hmm_on_groups(obj, params, groups, trend_fits)
+        elif cfg.analysis_mode == "cells":
+            hmm_states = hmm_mod.predict_hmm_on_cells(obj, params)
+        else:  # samples
+            if cfg.cluster_by_groups:
+                groups = {**obj.obs_groups, **obj.ref_groups}
+            else:
+                groups = {"all_observations": obj.all_obs_idx(), **obj.ref_groups}
+            hmm_states = hmm_mod.predict_hmm_on_groups(obj, params, groups, trend_fits)
+
+        result.region_reports = generate_cnv_region_reports(
+            obj, hmm_states,
+            output_filename_prefix=f"17_HMM_pred{hmm_resume_token}",
+            out_dir=cfg.out_dir,
+            ignore_neutral_state=neutral,
+            by=cfg.HMM_report_by,
+        )
+        save(17, states=hmm_states)
+        result.hmm_states = hmm_states
+        result.hmm_gene_order = obj.gene_order
+    if done(17):
+        result.infercnv_obj = obj
+        return result
+
+    # STEPS 18-19: Bayesian mixture model filtering
+    if (cfg.HMM and cfg.BayesMaxPNormal > 0 and hmm_states is not None
+            and len(np.unique(hmm_states)) > 1):
+        log_info("STEP 18: Run Bayesian Network Model on HMM predicted CNVs")
+        from infercnv_tpu.models.bayes import bayesian_filter_states
+
+        hmm_states, bayes_out = bayesian_filter_states(
+            obj, hmm_states,
+            hmm_type=cfg.HMM_type,
+            BayesMaxPNormal=cfg.BayesMaxPNormal,
+            hspike=obj.hspike,
+            reassign=cfg.reassignCNVs,
+            out_dir=os.path.join(cfg.out_dir, f"BayesNetOutput{hmm_resume_token}"),
+            report_by=cfg.HMM_report_by,
+            seed=cfg.seed,
+        )
+        result.bayes_result = bayes_out
+        result.hmm_states = hmm_states
+        save(19, states=hmm_states)
+        # adjusted report files
+        generate_cnv_region_reports(
+            obj, hmm_states,
+            output_filename_prefix=(
+                f"HMM_CNV_predictions{hmm_resume_token}.Pnorm_{cfg.BayesMaxPNormal:g}"),
+            out_dir=cfg.out_dir,
+            ignore_neutral_state=hmm_mod.NEUTRAL_STATE_I6 if cfg.HMM_type == "i6" else hmm_mod.NEUTRAL_STATE_I3,
+            by=cfg.HMM_report_by,
+        )
+    if done(18) or done(19):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 20: states -> proxy expression values
+    if cfg.HMM and hmm_states is not None:
+        log_info("STEP 20: Converting HMM-based CNV states to repr expr vals")
+        result.hmm_proxy_values = hmm_mod.assign_states_to_proxy_values(
+            hmm_states, 6 if cfg.HMM_type == "i6" else 3)
+    if done(20):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 21: optional DE-gene masking
+    if cfg.mask_nonDE_genes and skip_past < 21:
+        if not obj.has_reference_cells():
+            raise ValueError("cannot mask non-DE genes without reference cells")
+        log_info("STEP 21: Identify and mask non-DE genes")
+        from infercnv_tpu.ops.de_mask import mask_non_DE_genes_basic
+
+        mask_non_DE_genes_basic(
+            obj, p_val_thresh=cfg.mask_nonDE_pval, test_use=cfg.test_use,
+            center_val=float(obj.expr.mean()),
+            require_DE_all_normals=cfg.require_DE_all_normals)
+        save(21)
+    if done(21):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 22: denoising
+    if cfg.denoise and skip_past < 22:
+        log_info("STEP 22: Denoising")
+        _clear_noise(obj, cfg)
+        save(22)
+    if done(22):
+        result.infercnv_obj = obj
+        return result
+
+    # STEP 23: final object + plot
+    if cfg.save_final_rds and cfg.save_rds:
+        ckpt.save_step(obj, os.path.join(cfg.out_dir, "run.final.infercnv_obj.npz"),
+                       cum_args[22])
+    if not cfg.no_plot:
+        try:
+            from infercnv_tpu.viz.heatmap import plot_cnv
+
+            plot_cnv(obj, out_dir=cfg.out_dir, output_filename="infercnv",
+                     title="inferCNV",
+                     k_obs_groups=cfg.k_obs_groups,
+                     cluster_by_groups=cfg.cluster_by_groups,
+                     cluster_references=cfg.cluster_references,
+                     x_center=cfg.final_center_val if cfg.final_center_val is not None else 1.0,
+                     x_range=cfg.final_scale_limits if cfg.final_scale_limits is not None else "auto",
+                     output_format=cfg.output_format)
+        except ImportError:
+            log_warn("viz module unavailable; skipping final heatmap")
+
+    result.infercnv_obj = obj
+    return result

@@ -1,0 +1,128 @@
+"""Mean-variance-trend count simulation ('meanvar', the default sim_method).
+
+reference: R/inferCNV_meanVarSim.R — a smoothing spline of
+log(var+1) ~ log(mean+1) over all cell groups supplies the per-gene variance;
+counts are round(max(N(m, sd), 0)); a per-gene dropout step then matches the
+zero fraction predicted by a p0-vs-log(mean) spline
+(.apply_dropout, meanVarSim.R:122-161).
+
+TPU-native: the spline trends are fit host-side (one point per gene) and
+exported on a dense grid; sampling runs on device via jax.random with the
+trend looked up by jnp.interp, vectorized over [genes x cells].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infercnv_tpu.utils.splines import SmoothingSpline, fit_smoothing_spline
+
+
+def get_mean_var_table(expr_cg: np.ndarray, groups: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Pooled per-group per-gene (mean, var) rows
+    (reference .get_mean_var_table meanVarSim.R:178-196; var has ddof=1)."""
+    ms, vs = [], []
+    for idx in groups:
+        sub = expr_cg[np.asarray(idx)]
+        ms.append(sub.mean(axis=0))
+        vs.append(sub.var(axis=0, ddof=1))
+    return np.concatenate(ms), np.concatenate(vs)
+
+
+def fit_mean_var_spline(m: np.ndarray, v: np.ndarray) -> SmoothingSpline:
+    """smooth.spline(log(v+1) ~ log(m+1)) (reference meanVarSim.R:27-31)."""
+    return fit_smoothing_spline(np.log(m + 1.0), np.log(v + 1.0))
+
+
+def get_mean_vs_p0_table(expr_cg: np.ndarray, groups: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Pooled (gene mean, fraction of zeros) rows
+    (reference .get_mean_vs_p0_table inferCNV_simple_sim.R:97-151)."""
+    ms, p0s = [], []
+    for idx in groups:
+        sub = expr_cg[np.asarray(idx)]
+        ms.append(sub.mean(axis=0))
+        p0s.append((sub == 0).mean(axis=0))
+    return np.concatenate(ms), np.concatenate(p0s)
+
+
+def fit_dropout_spline(m: np.ndarray, p0: np.ndarray) -> SmoothingSpline:
+    """smooth.spline(p0 ~ log(m)) on m>0 rows
+    (reference .get_logistic_params inferCNV_simple_sim.R:188-225; the
+    spline — not the nls logistic — is what .apply_dropout uses)."""
+    ok = m > 0
+    return fit_smoothing_spline(np.log(m[ok]), p0[ok])
+
+
+def simulate_meanvar_counts(
+    key: jax.Array,
+    gene_means: np.ndarray,
+    mean_var_spline: SmoothingSpline,
+    num_cells: int,
+    dropout_spline: Optional[SmoothingSpline] = None,
+) -> jax.Array:
+    """Simulate a [num_cells, G] count matrix.
+
+    reference .get_simulated_cell_matrix_using_meanvar_trend_helper
+    (meanVarSim.R:23-57) + .sim_expr_val_mean_var_no_dropout (:105-119) +
+    .apply_dropout (:122-161).
+    """
+    gene_means = np.asarray(gene_means, np.float64)
+    G = gene_means.shape[0]
+    pred_log_var = mean_var_spline.predict(np.log(gene_means + 1.0))
+    var = np.maximum(np.exp(pred_log_var) - 1.0, 0.0)
+    sd = np.sqrt(var).astype(np.float32)
+    means = jnp.asarray(gene_means, jnp.float32)
+    sds = jnp.asarray(sd)
+
+    k_norm, k_drop = jax.random.split(key)
+    z = jax.random.normal(k_norm, (num_cells, G), jnp.float32)
+    vals = jnp.round(jnp.maximum(means[None, :] + sds[None, :] * z, 0.0))
+    vals = jnp.where(means[None, :] > 0, vals, 0.0)
+
+    if dropout_spline is not None:
+        gx, gy = dropout_spline.dense_grid()
+        row_means = jnp.mean(vals, axis=0)  # per-gene mean of simulated counts
+        log_rm = jnp.log(jnp.maximum(row_means, 1e-12))
+        p0 = jnp.interp(log_rm, jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32))
+        n_total = float(num_cells)
+        n_zero = jnp.sum(vals == 0, axis=0).astype(jnp.float32)
+        n_remaining = n_total - n_zero
+        padj = (p0 * n_total - n_zero) / jnp.maximum(n_remaining, 1.0)
+        padj = jnp.where(n_remaining > 0, jnp.maximum(padj, 0.0), 0.0)
+        u = jax.random.uniform(k_drop, (num_cells, G))
+        vals = jnp.where(u <= padj[None, :], 0.0, vals)
+    return vals
+
+
+def simulate_simple_counts(
+    key: jax.Array,
+    gene_means: np.ndarray,
+    num_cells: int,
+    common_dispersion: float = 0.1,
+    dropout_spline: Optional[SmoothingSpline] = None,
+) -> jax.Array:
+    """Negative-binomial simulation ('simple' sim_method, experimental).
+
+    reference .get_simulated_cell_matrix / .sim_expr_val
+    (inferCNV_simple_sim.R:27-89): val ~ NB(mu=m, size=1/dispersion) as a
+    gamma-Poisson mixture; per-value dropout with probability
+    p0_spline(log(val))."""
+    gene_means = np.asarray(gene_means, np.float64)
+    G = gene_means.shape[0]
+    means = jnp.asarray(gene_means, jnp.float32)
+    size = 1.0 / common_dispersion
+    k_gamma, k_pois, k_drop = jax.random.split(key, 3)
+    lam = jax.random.gamma(k_gamma, size, (num_cells, G)) * (means[None, :] / size)
+    vals = jax.random.poisson(k_pois, lam).astype(jnp.float32)
+    vals = jnp.where(means[None, :] > 0, vals, 0.0)
+    if dropout_spline is not None:
+        gx, gy = dropout_spline.dense_grid()
+        logv = jnp.log(jnp.maximum(vals, 1e-12))
+        p = jnp.interp(logv, jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32))
+        u = jax.random.uniform(k_drop, vals.shape)
+        vals = jnp.where((vals > 0) & (u <= p), 0.0, vals)
+    return vals

@@ -1,0 +1,307 @@
+"""Tumor subclustering driver.
+
+reference: define_signif_tumor_subclusters (R/inferCNV_tumor_subclusters.R:2-177)
+with partition methods:
+  * 'leiden' (default): kNN/SNN graph + Leiden (:569-643, :699-741)
+  * 'qnorm' | 'pheight' | 'qgamma' | 'none': ward.D2 tree cut (:181-268)
+  * 'random_trees': recursive permutation test
+    (inferCNV_tumor_subclusters.random_smoothed_trees.R:3-60, :403-531)
+
+Distances and kNN run on the MXU (subcluster/distance.py); tree building
+uses Ward linkage on the gathered distance matrix (host — needed only for
+ordering/cuts).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from scipy import stats
+from scipy.cluster import hierarchy
+
+from infercnv_tpu.core.object import InferCNV
+from infercnv_tpu.subcluster.distance import condensed_dists, knn_indices, pairwise_dists
+from infercnv_tpu.subcluster.leiden import (
+    auto_resolution,
+    knn_graph,
+    leiden,
+    snn_graph,
+)
+from infercnv_tpu.subcluster.pca import pca_embed
+from infercnv_tpu.utils.logging import log_info, log_warn
+
+
+def ward_linkage(x_cg: np.ndarray) -> np.ndarray:
+    """hclust(dist(x), 'ward.D2') equivalent: scipy 'ward' on euclidean."""
+    if x_cg.shape[0] < 2:
+        raise ValueError("need >= 2 cells for linkage")
+    return hierarchy.linkage(condensed_dists(x_cg), method="ward")
+
+
+def _cut_groups_ordered(Z: np.ndarray, height: float) -> np.ndarray:
+    return hierarchy.fcluster(Z, t=height, criterion="distance")
+
+
+def zscore_gene_filter(obj: InferCNV, z_score_filter: float) -> np.ndarray:
+    """Gene indices to KEEP after dropping genes with mean |z| >= threshold,
+    z computed on the pooled reference matrix (reference :45-68)."""
+    if z_score_filter <= 0 or not obj.has_reference_cells():
+        return np.arange(obj.num_genes)
+    ref = obj.expr[obj.all_ref_idx()]
+    z = (ref - ref.mean()) / ref.std(ddof=1)
+    outliers = np.abs(z).mean(axis=0) >= z_score_filter
+    if outliers.any():
+        log_info(f"z_score_filter: masking {int(outliers.sum())} genes for subclustering")
+    return np.nonzero(~outliers)[0]
+
+
+def _leiden_partition(
+    expr_sub: np.ndarray,
+    k_nn: int,
+    resolution,
+    method: str,
+    objective: str,
+    seed: int,
+) -> np.ndarray:
+    """Partition one cell group ([n, G] matrix).  method: 'PCA' | 'simple'."""
+    n = expr_sub.shape[0]
+    res = auto_resolution(n) if resolution == "auto" else float(resolution)
+    if method == "PCA":
+        emb = pca_embed(expr_sub, n_components=10)
+        nn = np.asarray(knn_indices(emb, min(k_nn, n)))
+        A = snn_graph(nn, n)
+        if A.nnz == 0:
+            A = knn_graph(nn, n, mode="undirected")
+    else:
+        nn = np.asarray(knn_indices(expr_sub, min(k_nn, n)))
+        A = knn_graph(nn, n, mode="undirected")
+    return leiden(A, res, objective=objective, seed=seed)
+
+
+def _single_tumor_leiden_subclustering(
+    group_name: str,
+    group_idx: np.ndarray,
+    expr_sub: np.ndarray,
+    k_nn: int,
+    resolution,
+    method: str,
+    objective: str,
+    seed: int,
+) -> Tuple[Optional[np.ndarray], Dict[str, np.ndarray]]:
+    """reference .single_tumor_leiden_subclustering (:569-643).
+    Returns (linkage or None, {subcluster_name: cell indices})."""
+    n = group_idx.shape[0]
+    subclusters: Dict[str, np.ndarray] = {}
+    if n < 3:
+        log_info(f"Too few cells in group {group_name} for any (sub)clustering. Keeping as is.")
+        return None, {f"{group_name}_s1": group_idx}
+    if k_nn >= n:
+        log_info(f"Less cells in group {group_name} than k_nn setting. Keeping as a single subcluster.")
+        return ward_linkage(expr_sub), {group_name: group_idx}
+    part = _leiden_partition(expr_sub, k_nn, resolution, method, objective, seed)
+    # name clusters 1..K largest-first (reference iterates sort(table) desc)
+    labels, counts = np.unique(part, return_counts=True)
+    order = labels[np.argsort(-counts, kind="stable")]
+    for lab in order:
+        subclusters[f"{group_name}_s{lab + 1}"] = group_idx[part == lab]
+    Z = ward_linkage(expr_sub) if n >= 2 else None
+    return Z, subclusters
+
+
+def _single_tumor_hclust_subclustering(
+    group_name: str,
+    group_idx: np.ndarray,
+    expr_sub: np.ndarray,
+    p_val: float,
+    partition_method: str,
+) -> Tuple[Optional[np.ndarray], Dict[str, np.ndarray]]:
+    """reference .single_tumor_subclustering (:181-268)."""
+    n = group_idx.shape[0]
+    if n <= 2:
+        return None, {f"{group_name}_s1": group_idx}
+    Z = ward_linkage(expr_sub)
+    heights = Z[:, 2]
+    if partition_method == "pheight":
+        cut_height = p_val * heights.max()
+    elif partition_method == "qnorm":
+        cut_height = stats.norm.ppf(1 - p_val, loc=heights.mean(), scale=heights.std(ddof=1))
+    elif partition_method == "qgamma":
+        # fitdist(heights, 'gamma') MLE then qgamma(1 - p_val)
+        a, loc, scale = stats.gamma.fit(heights, floc=0)
+        cut_height = stats.gamma.ppf(1 - p_val, a, loc=loc, scale=scale)
+    elif partition_method == "none":
+        cut_height = np.inf
+    else:
+        raise ValueError(f"unrecognized partition_method {partition_method!r}")
+    grps = _cut_groups_ordered(Z, cut_height) if np.isfinite(cut_height) else np.ones(n, int)
+    subclusters: Dict[str, np.ndarray] = {}
+    # reference orders subcluster contents by dendrogram leaf order (:247-260)
+    leaf_order = hierarchy.leaves_list(Z)
+    for g in np.unique(grps):
+        members = leaf_order[grps[leaf_order] == g]
+        subclusters[f"{group_name}_s{g}"] = group_idx[members]
+    return Z, subclusters
+
+
+def _parameterize_random_cluster_heights(expr_sub: np.ndarray, rng: np.random.Generator,
+                                         n_iters: int = 100):
+    """reference .parameterize_random_cluster_heights (:467-531): permute
+    each gene column across cells, rebuild the tree, record max height."""
+    Z = ward_linkage(expr_sub)
+    max_h = Z[:, 2].max()
+    n, G = expr_sub.shape
+    max_rand = np.empty(n_iters)
+    for i in range(n_iters):
+        perm = expr_sub.copy()
+        for g in range(G):
+            perm[:, g] = perm[rng.permutation(n), g]
+        Zr = ward_linkage(perm)
+        max_rand[i] = Zr[:, 2].max()
+    pval = float((max_rand >= max_h).mean())
+    return Z, max_h, max_rand, pval
+
+
+def _random_trees_recurse(
+    group_idx: np.ndarray,
+    expr_sub: np.ndarray,
+    p_val: float,
+    rng: np.random.Generator,
+    min_cluster_size_recurse: int = 10,
+) -> list:
+    """Recursive permutation-test partitioning (reference
+    .single_tumor_subclustering_recursive_random_trees :403-465).
+    Returns list of index arrays (leaves of the recursion)."""
+    n = group_idx.shape[0]
+    if n <= 2:
+        return [group_idx]
+    Z, max_h, max_rand, pval = _parameterize_random_cluster_heights(expr_sub, rng)
+    if max_h <= 0 or pval > p_val:
+        return [group_idx]
+    h = np.sort(Z[:, 2])
+    cut_height = (h[-1] + h[-2]) / 2.0 if h.size >= 2 else h[-1] / 2
+    grps = _cut_groups_ordered(Z, cut_height)
+    out = []
+    for g in np.unique(grps):
+        sel = grps == g
+        sub_idx = group_idx[sel]
+        if sel.sum() > min_cluster_size_recurse:
+            out.extend(_random_trees_recurse(sub_idx, expr_sub[sel], p_val, rng))
+        else:
+            out.append(sub_idx)
+    return out
+
+
+def split_references(obj: InferCNV, num_groups: int = 2,
+                     hclust_method: str = "complete") -> None:
+    """Re-split the pooled reference cells into `num_groups` by hierarchical
+    clustering (reference split_references R/inferCNV_ops.R:1917-1947;
+    'complete' linkage on euclidean distances, cutree k)."""
+    ref_idx = obj.all_ref_idx()
+    if ref_idx.size == 0:
+        raise ValueError("no reference cells defined; cannot split into groups")
+    d = condensed_dists(obj.expr[ref_idx])
+    method = {"ward.D2": "ward", "complete": "complete", "average": "average",
+              "single": "single"}.get(hclust_method, hclust_method)
+    Z = hierarchy.linkage(d, method=method)
+    grps = hierarchy.fcluster(Z, t=num_groups, criterion="maxclust")
+    new_groups: Dict[str, np.ndarray] = {}
+    counter = 0
+    for g in np.unique(grps):
+        counter += 1
+        new_groups[f"refgrp-{counter}"] = ref_idx[grps == g]
+    obj.ref_groups = new_groups
+
+
+def define_tumor_subclusters(
+    obj: InferCNV,
+    p_val: float = 0.1,
+    k_nn: int = 20,
+    leiden_method: str = "PCA",
+    leiden_function: str = "CPM",
+    leiden_resolution="auto",
+    leiden_method_per_chr: str = "simple",
+    leiden_function_per_chr: str = "modularity",
+    leiden_resolution_per_chr: float = 1.0,
+    hclust_method: str = "ward.D2",
+    cluster_by_groups: bool = True,
+    partition_method: str = "leiden",
+    per_chr_hmm_subclusters: bool = False,
+    per_chr_hmm_subclusters_references: bool = False,
+    z_score_filter: float = 0.8,
+    seed: int = 12345,
+) -> Optional[Dict[str, Dict[str, np.ndarray]]]:
+    """Populate obj.tumor_subclusters; returns subclusters_per_chr or None.
+
+    Mirrors define_signif_tumor_subclusters (:2-177): observation groups
+    (plus reference groups) are partitioned independently; the hspike child
+    gets partition_method='none' (:155-160).
+    """
+    log_info(f"define_tumor_subclusters(p_val={p_val}, method={partition_method})")
+    if cluster_by_groups:
+        tumor_groups: Dict[str, np.ndarray] = {**{k: np.asarray(v) for k, v in obj.obs_groups.items()},
+                                               **{k: np.asarray(v) for k, v in obj.ref_groups.items()}}
+    else:
+        tumor_groups = {"all_observations": obj.all_obs_idx(),
+                        **{k: np.asarray(v) for k, v in obj.ref_groups.items()}}
+
+    keep_genes = zscore_gene_filter(obj, z_score_filter)
+    expr = obj.expr[:, keep_genes]
+
+    res: Dict[str, dict] = {"hc": {}, "subclusters": {}}
+    rng = np.random.default_rng(seed)
+    for gi, (group, idx) in enumerate(tumor_groups.items()):
+        log_info(f"define_tumor_subclusters(), tumor: {group}")
+        sub_expr = expr[idx]
+        if partition_method == "leiden":
+            Z, subclusters = _single_tumor_leiden_subclustering(
+                group, idx, sub_expr, k_nn, leiden_resolution, leiden_method,
+                leiden_function, seed + gi,
+            )
+        elif partition_method == "random_trees":
+            parts = _random_trees_recurse(idx, sub_expr, p_val, rng)
+            subclusters = {f"{group}_s{i+1}": p for i, p in enumerate(parts)}
+            Z = ward_linkage(sub_expr) if idx.shape[0] > 2 else None
+        else:
+            Z, subclusters = _single_tumor_hclust_subclustering(
+                group, idx, sub_expr, p_val, partition_method,
+            )
+        res["hc"][group] = Z
+        res["subclusters"][group] = subclusters
+    obj.tumor_subclusters = res
+
+    subclusters_per_chr = None
+    if per_chr_hmm_subclusters and partition_method == "leiden":
+        if not per_chr_hmm_subclusters_references:
+            if cluster_by_groups:
+                groups_for_chr = {k: np.asarray(v) for k, v in obj.obs_groups.items()}
+            else:
+                groups_for_chr = {"all_observations": obj.all_obs_idx()}
+        else:
+            groups_for_chr = tumor_groups
+        subclusters_per_chr = {}
+        chr_ids = obj.gene_order.chr_ids[keep_genes]
+        for ci, cname in enumerate(obj.gene_order.chr_names):
+            gsel = np.nonzero(chr_ids == ci)[0]
+            chr_map: Dict[str, np.ndarray] = {}
+            for group, idx in groups_for_chr.items():
+                c_data = expr[np.ix_(idx, gsel)]
+                n = idx.shape[0]
+                if n < 3 or k_nn >= n or gsel.size == 0:
+                    chr_map[group] = idx
+                    continue
+                part = _leiden_partition(
+                    c_data, k_nn, leiden_resolution_per_chr,
+                    leiden_method_per_chr, leiden_function_per_chr, seed + ci,
+                )
+                for lab in np.unique(part):
+                    chr_map[f"{group}_s{lab+1}"] = idx[part == lab]
+            if not per_chr_hmm_subclusters_references:
+                chr_map.update({k: np.asarray(v) for k, v in obj.ref_groups.items()})
+            subclusters_per_chr[cname] = chr_map
+
+    if obj.hspike is not None:
+        log_info("-mirroring subclusters for hspike (partition_method='none')")
+        define_tumor_subclusters(obj.hspike, cluster_by_groups=True,
+                                 partition_method="none", z_score_filter=0.0)
+    return subclusters_per_chr

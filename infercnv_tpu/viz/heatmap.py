@@ -1,0 +1,247 @@
+"""CNV heatmap rendering — analogue of plot_cnv
+(reference R/inferCNV_heatmap.R:90-470 + the vendored heatmap engine
+:1374-2768), rebuilt on matplotlib.
+
+Layout mirrors the reference: a chromosome color bar on top, the
+observation (tumor) pane with per-group separators and dendrogram-derived
+row ordering, reference pane(s) below, blue-white-red palette centered on
+x.center with x.range auto-derived from the 1%/99% quantiles of
+off-center values (:155-167).  Also writes the text outputs
+(.observations.txt, .references.txt, .observation_groupings.txt,
+heatmap_thresholds.txt) the downstream tooling consumes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from infercnv_tpu.core.object import InferCNV
+from infercnv_tpu.report.regions import write_expr_matrix
+from infercnv_tpu.utils.logging import log_info, log_warn
+
+
+def get_x_range_auto(expr_cg: np.ndarray, x_center: float) -> Tuple[float, float]:
+    """1% / 99% quantiles of values away from the center, symmetrized
+    (reference inferCNV_heatmap.R:155-167)."""
+    vals = expr_cg[expr_cg != x_center]
+    if vals.size == 0:
+        return x_center - 1.0, x_center + 1.0
+    lo = np.quantile(vals, 0.01)
+    hi = np.quantile(vals, 0.99)
+    delta = max(abs(lo - x_center), abs(hi - x_center))
+    low = x_center - delta
+    high = x_center + delta
+    if low == high:
+        low, high = x_center - 1, x_center + 1
+    return float(low), float(high)
+
+
+def color_palette():
+    """Blue-white-red ramp (reference color.palette inferCNV_ops.R:1808-1835:
+    'darkblue', 'white', 'darkred' with steps)."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    return LinearSegmentedColormap.from_list(
+        "infercnv", ["#00008B", "#FFFFFF", "#8B0000"], N=255)
+
+
+CHR_BAR_COLORS = [
+    "#8DD3C7", "#FFFFB3", "#BEBADA", "#FB8072", "#80B1D3", "#FDB462",
+    "#B3DE69", "#FCCDE5", "#D9D9D9", "#BC80BD", "#CCEBC5", "#FFED6F",
+]
+
+
+def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
+                      cluster: bool) -> np.ndarray:
+    """Row ordering within one group: stored subcluster structure first
+    (largest subcluster leading, as the reference's stitched dendrograms),
+    each ordered by ward-linkage leaf order; else fresh hclust."""
+    if idx.size <= 2 or not cluster:
+        return idx
+    from scipy.cluster import hierarchy
+
+    from infercnv_tpu.subcluster.distance import condensed_dists
+
+    subs = None
+    if obj.tumor_subclusters and group in obj.tumor_subclusters["subclusters"]:
+        subs = obj.tumor_subclusters["subclusters"][group]
+    if subs and len(subs) > 1:
+        ordered = []
+        for _name, sidx in sorted(subs.items(), key=lambda kv: -len(kv[1])):
+            sidx = np.asarray(sidx)
+            if sidx.size > 2:
+                Z = hierarchy.linkage(condensed_dists(obj.expr[sidx]), method="ward")
+                ordered.append(sidx[hierarchy.leaves_list(Z)])
+            else:
+                ordered.append(sidx)
+        return np.concatenate(ordered)
+    Z = hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
+    return idx[hierarchy.leaves_list(Z)]
+
+
+def plot_cnv(
+    obj: InferCNV,
+    out_dir: str,
+    output_filename: str = "infercnv",
+    title: str = "inferCNV",
+    k_obs_groups: int = 1,
+    cluster_by_groups: bool = True,
+    cluster_references: bool = True,
+    x_center: Optional[float] = None,
+    x_range="auto",
+    custom_color_pal=None,
+    output_format: str = "png",
+    png_res: int = 150,
+    write_expr: bool = False,
+    obs_title: str = "Observations (Cells)",
+    ref_title: str = "References (Cells)",
+) -> Optional[str]:
+    """Render the heatmap; returns the output image path."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import Normalize
+
+    os.makedirs(out_dir, exist_ok=True)
+    expr = np.asarray(obj.expr, np.float32)
+    if x_center is None:
+        x_center = float(np.mean(expr))
+    if isinstance(x_range, str) and x_range == "auto":
+        lo, hi = get_x_range_auto(expr, x_center)
+    elif x_range is None:
+        lo, hi = get_x_range_auto(expr, x_center)
+    else:
+        lo, hi = float(x_range[0]), float(x_range[1])
+    data = np.clip(expr, lo, hi)
+
+    # ordering
+    obs_order: List[np.ndarray] = []
+    obs_group_sizes: List[Tuple[str, int]] = []
+    if cluster_by_groups:
+        for g, idx in obj.obs_groups.items():
+            o = _group_cell_order(obj, g, np.asarray(idx), True)
+            obs_order.append(o)
+            obs_group_sizes.append((g, o.size))
+    else:
+        idx = obj.all_obs_idx()
+        o = _group_cell_order(obj, "all_observations", idx, True)
+        if k_obs_groups > 1 and idx.size > k_obs_groups:
+            from scipy.cluster import hierarchy
+
+            from infercnv_tpu.subcluster.distance import condensed_dists
+
+            Z = hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
+            grps = hierarchy.fcluster(Z, t=k_obs_groups, criterion="maxclust")
+            leaf = hierarchy.leaves_list(Z)
+            o = idx[leaf]
+            obs_group_sizes = [(f"obs_grp_{g}", int((grps == g).sum())) for g in np.unique(grps)]
+        else:
+            obs_group_sizes = [("all_observations", o.size)]
+        obs_order = [o]
+    obs_idx = np.concatenate(obs_order) if obs_order else np.zeros(0, np.int64)
+
+    ref_order: List[np.ndarray] = []
+    ref_group_sizes: List[Tuple[str, int]] = []
+    for g, idx in obj.ref_groups.items():
+        o = _group_cell_order(obj, g, np.asarray(idx), cluster_references)
+        ref_order.append(o)
+        ref_group_sizes.append((g, o.size))
+    ref_idx = np.concatenate(ref_order) if ref_order else np.zeros(0, np.int64)
+
+    # figure
+    G = obj.num_genes
+    n_obs, n_ref = obs_idx.size, ref_idx.size
+    have_ref = n_ref > 0
+    fig_h = 8.0
+    ref_frac = min(0.35, max(0.12, n_ref / max(n_obs + n_ref, 1))) if have_ref else 0.0
+    fig, axes = plt.subplots(
+        3 if have_ref else 2, 1,
+        figsize=(11, fig_h),
+        gridspec_kw={"height_ratios": ([0.035, 1 - ref_frac, ref_frac] if have_ref
+                                       else [0.035, 1.0]),
+                     "hspace": 0.06},
+    )
+    ax_chr = axes[0]
+    ax_obs = axes[1]
+    ax_ref = axes[2] if have_ref else None
+
+    # chromosome bar
+    chr_ids = obj.gene_order.chr_ids
+    bar = np.array([int(c) % len(CHR_BAR_COLORS) for c in chr_ids])[None, :]
+    from matplotlib.colors import ListedColormap
+
+    ax_chr.imshow(bar, aspect="auto", cmap=ListedColormap(CHR_BAR_COLORS),
+                  vmin=0, vmax=len(CHR_BAR_COLORS) - 1, interpolation="nearest")
+    ax_chr.set_yticks([])
+    ax_chr.set_xticks([])
+    # chromosome labels
+    boundaries = []
+    for ci, (b, e) in enumerate(obj.gene_order.chr_ranges()):
+        if e > b:
+            ax_chr.text((b + e) / 2, -0.8, obj.gene_order.chr_names[ci],
+                        ha="center", va="bottom", fontsize=6, rotation=0)
+            boundaries.append(b)
+    ax_chr.set_title(title, fontsize=11)
+
+    cmap = custom_color_pal or color_palette()
+    norm = Normalize(vmin=lo, vmax=hi)
+
+    def pane(ax, rows, group_sizes, label):
+        if rows.size == 0:
+            ax.axis("off")
+            return
+        ax.imshow(data[rows][::-1], aspect="auto", cmap=cmap, norm=norm,
+                  interpolation="nearest")
+        for b in boundaries[1:]:
+            ax.axvline(b - 0.5, color="black", lw=0.4)
+        acc = 0
+        n = rows.size
+        for (_g, size) in group_sizes[:-1]:
+            acc += size
+            ax.axhline(n - acc - 0.5, color="black", lw=0.6)
+        ax.set_yticks([])
+        ax.set_xticks([])
+        ax.set_ylabel(label, fontsize=8)
+        # group labels on the right
+        acc = 0
+        for (g, size) in group_sizes:
+            ax.text(G + G * 0.005, n - (acc + size / 2), str(g)[:30],
+                    fontsize=5, va="center", ha="left", clip_on=False)
+            acc += size
+
+    pane(ax_obs, obs_idx, obs_group_sizes, obs_title)
+    if have_ref:
+        pane(ax_ref, ref_idx, ref_group_sizes, ref_title)
+
+    sm = plt.cm.ScalarMappable(norm=norm, cmap=cmap)
+    cbar = fig.colorbar(sm, ax=axes.tolist(), fraction=0.025, pad=0.09,
+                        location="left")
+    cbar.ax.tick_params(labelsize=6)
+
+    ext = output_format if output_format in ("png", "pdf", "svg") else "png"
+    out_path = os.path.join(out_dir, f"{output_filename}.{ext}")
+    fig.savefig(out_path, dpi=png_res, bbox_inches="tight")
+    plt.close(fig)
+    log_info(f"-wrote heatmap: {out_path}")
+
+    # text outputs (reference :803-846)
+    with open(os.path.join(out_dir, f"{output_filename}.observation_groupings.txt"), "w") as f:
+        f.write("cell_group_name cell\n")
+        pos = 0
+        for (g, size), rows in zip(obs_group_sizes, obs_order):
+            for r in rows:
+                f.write(f"{g} {obj.cell_names[r]}\n")
+    with open(os.path.join(out_dir, f"{output_filename}.heatmap_thresholds.txt"), "w") as f:
+        for v in np.linspace(lo, hi, 31):
+            f.write(f"{v}\n")
+    if write_expr:
+        write_expr_matrix(os.path.join(out_dir, f"{output_filename}.observations.txt"),
+                          data, obj.gene_order, obj.cell_names, obs_idx)
+        if have_ref:
+            write_expr_matrix(os.path.join(out_dir, f"{output_filename}.references.txt"),
+                              data, obj.gene_order, obj.cell_names, ref_idx)
+    return out_path
