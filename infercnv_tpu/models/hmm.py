@@ -225,8 +225,11 @@ def _viterbi_batched(x, mask, means, sigma, log_pi, log_delta, num_states: int):
     # bps: [L-1, B, S]
     y_last = jnp.argmax(nu_last, axis=1)              # [B]
 
+    # one-hot select instead of take_along_axis: per-lane gathers serialize
+    # on TPU while the S-way compare+sum stays on the VPU
     def back(y_next, bp):
-        y = jnp.take_along_axis(bp, y_next[:, None], axis=1)[:, 0]
+        onehot = jnp.arange(S)[None, :] == y_next[:, None]
+        y = jnp.sum(jnp.where(onehot, bp, 0), axis=1)
         return y, y
 
     _, ys = jax.lax.scan(back, y_last, bps, reverse=True)

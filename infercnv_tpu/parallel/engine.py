@@ -1,0 +1,257 @@
+"""Sharded CNV engine — the production compute path.
+
+The reference is single-process R (SURVEY §2.3); this module is the
+TPU-native scale-out design: the [cells, genes] matrix is sharded on the
+cell axis over a ``jax.sharding.Mesh``, reference-group statistics are
+computed once (they only involve the reference cells plus one global
+median) and broadcast, and the per-cell transform + Viterbi runs as a
+single fused jit program per cell chunk — embarrassingly cell-parallel, so
+the only collectives XLA inserts are the psums behind the global medians
+and reference means.
+
+Streaming design: a 1M-cell x 10k-gene matrix (40 GB) does not fit in one
+chip's HBM, so cells flow through in fixed-size chunks; Viterbi backtrace
+memory (chunk x chrs x genes) stays bounded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from infercnv_tpu.core.genome import GeneOrder
+from infercnv_tpu.models.hmm import HMMParams
+from infercnv_tpu.ops.layout import smoothing_operator
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    window_length: int = 101
+    smooth_method: str = "pyramidinal"
+    max_centered_threshold: float = 3.0
+    ref_subtract_use_bounds: bool = True
+    center_method: str = "median"
+    denoise: bool = True
+    sd_amplifier: float = 1.5
+    hmm_t: float = 1e-6
+
+
+def _pack_indices(gene_order: GeneOrder) -> Tuple[np.ndarray, np.ndarray, int]:
+    """(gather_idx [n_chr, Lmax], valid [n_chr, Lmax], Lmax) for chromosome
+    packing of the gene axis."""
+    ranges = [r for r in gene_order.chr_ranges() if r[1] > r[0]]
+    Lmax = max(e - b for (b, e) in ranges)
+    n_chr = len(ranges)
+    gather = np.zeros((n_chr, Lmax), np.int32)
+    valid = np.zeros((n_chr, Lmax), bool)
+    for ci, (b, e) in enumerate(ranges):
+        n = e - b
+        gather[ci, :n] = np.arange(b, e)
+        valid[ci, :n] = True
+    return gather, valid, Lmax
+
+
+class CnvEngine:
+    """Compiled, shardable smoothing+HMM pass for fixed genome/HMM params."""
+
+    def __init__(self, gene_order: GeneOrder, hmm: HMMParams,
+                 config: EngineConfig = EngineConfig(),
+                 mesh: Optional[Mesh] = None):
+        self.gene_order = gene_order
+        self.config = config
+        self.hmm = hmm
+        self.mesh = mesh
+        op = smoothing_operator(gene_order, config.window_length,
+                                "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
+        self._blocks = jnp.asarray(op.blocks)
+        self._op_meta = (op.n_tiles, op.side_tiles, op.num_genes)
+        gather, valid, Lmax = _pack_indices(gene_order)
+        self._gather = jnp.asarray(gather)
+        self._valid = jnp.asarray(valid)
+        self._Lmax = Lmax
+        # inverse map: gene g -> its flat position in the packed layout, so
+        # unpacking is a gather (TPU scatters serialize on duplicate indices)
+        inv = np.zeros(gene_order.num_genes, np.int32)
+        flat = gather.reshape(-1)
+        fvalid = valid.reshape(-1)
+        inv[flat[fvalid]] = np.nonzero(fvalid)[0]
+        self._inv_pack = jnp.asarray(inv)
+        self._means = jnp.asarray(hmm.means, jnp.float32)
+        self._log_pi = jnp.asarray(hmm.log_pi(), jnp.float32)
+        self._log_delta = jnp.asarray(np.log(hmm.delta()), jnp.float32)
+        self._sigma = jnp.float32(np.median(hmm.sds))
+
+        cell_sharding = None
+        rep = None
+        if mesh is not None:
+            cell_sharding = NamedSharding(mesh, P("cells", None))
+            rep = NamedSharding(mesh, P())
+        self._cell_sharding = cell_sharding
+
+        self._ref_stats = jax.jit(self._ref_stats_impl)
+        if mesh is not None:
+            self._transform = jax.jit(
+                self._transform_impl,
+                in_shardings=(cell_sharding, rep, rep, rep),
+                out_shardings=cell_sharding,
+            )
+            self._full = jax.jit(
+                self._full_impl,
+                in_shardings=(cell_sharding, rep, rep, rep),
+                out_shardings=(cell_sharding, cell_sharding),
+            )
+        else:
+            self._transform = jax.jit(self._transform_impl)
+            self._full = jax.jit(self._full_impl)
+
+    # ------------------------------------------------------------------
+    # numerics
+    # ------------------------------------------------------------------
+
+    def _smooth(self, x):
+        from infercnv_tpu.ops.smoothing import _apply_banded
+
+        n_tiles, side_tiles, num_genes = self._op_meta
+        return _apply_banded(x, self._blocks, n_tiles, side_tiles, num_genes)
+
+    def _residual(self, counts, norm_factor, ref_means_log, ref_means_resid):
+        cfg = self.config
+        cs = jnp.sum(counts, axis=1, keepdims=True)
+        x = jnp.log2(counts / cs * norm_factor + 1.0)
+        x = self._subtract(x, ref_means_log)
+        x = jnp.clip(x, -cfg.max_centered_threshold, cfg.max_centered_threshold)
+        x = self._smooth(x)
+        if cfg.center_method == "median":
+            x = x - jnp.median(x, axis=1, keepdims=True)
+        else:
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+        x = self._subtract(x, ref_means_resid)
+        return jnp.exp2(x)
+
+    def _subtract(self, x, grp_means):
+        if self.config.ref_subtract_use_bounds:
+            gmin = jnp.min(grp_means, axis=0)
+            gmax = jnp.max(grp_means, axis=0)
+            out = jnp.where(x > gmax, x - gmax, 0.0)
+            return jnp.where(x < gmin, x - gmin, out)
+        return x - jnp.mean(grp_means, axis=0)
+
+    def _viterbi(self, resid):
+        """Per-cell Viterbi over packed chromosomes.  resid: [C, G].
+
+        TPU layout note: the batch axis (cells x chromosomes) lives on the
+        LAST (lane) dimension of every tensor in the scan — with the tiny
+        state axis (S=6) leading, each op keeps all 128 lanes busy instead
+        of wasting 95% of the VPU on an S-minor layout.
+        """
+        C = resid.shape[0]
+        S = self._means.shape[0]
+        xp = resid[:, self._gather]          # [C, n_chr, Lmax]
+        n_chr = xp.shape[1]
+        B = C * n_chr
+        xl = xp.reshape(B, self._Lmax).T     # [L, B]
+        mask = jnp.broadcast_to(self._valid[None], (C, n_chr, self._Lmax))
+        mask = mask.reshape(B, self._Lmax).T  # [L, B]
+
+        # all emissions in one fused elementwise pass (no transcendentals
+        # inside the sequential scan): [L, S, B]
+        z = jnp.abs(xl[:, None, :] - self._means[None, :, None]) / self._sigma
+        logp = jax.scipy.special.log_ndtr(-z)
+        e = 1.0 / (-logp)
+        em_all = jnp.log(e / jnp.sum(e, axis=1, keepdims=True))
+
+        nu0 = self._log_delta[:, None] + em_all[0]          # [S, B]
+
+        def step(nu_prev, inputs):
+            em, mv = inputs                                  # [S, B], [B]
+            scores = nu_prev[:, None, :] + self._log_pi[:, :, None]  # [j, s, B]
+            best = jnp.max(scores, axis=0)                   # [S, B]
+            bp = jnp.argmax(scores, axis=0).astype(jnp.int8)
+            nu_new = jnp.where(mv[None, :], best + em, nu_prev)
+            ident = jnp.broadcast_to(
+                jnp.arange(S, dtype=jnp.int8)[:, None], bp.shape)
+            bp = jnp.where(mv[None, :], bp, ident)
+            return nu_new, bp
+
+        nu_last, bps = jax.lax.scan(
+            step, nu0, (em_all[1:], mask[1:]), unroll=4)
+        y_last = jnp.argmax(nu_last, axis=0).astype(jnp.int8)  # [B]
+
+        # backtrace via one-hot select: per-lane take_along_axis gathers
+        # lower to a ~2ms/step serialized gather on TPU; the S=6 compare+sum
+        # is pure VPU work (measured >1000x faster)
+        sr = jnp.arange(S, dtype=jnp.int8)[:, None]
+
+        def back(y_next, bp):
+            onehot = sr == y_next[None, :]
+            y = jnp.sum(jnp.where(onehot, bp, jnp.int8(0)), axis=0).astype(jnp.int8)
+            return y, y
+
+        _, ys = jax.lax.scan(back, y_last, bps, reverse=True, unroll=4)
+        states = jnp.concatenate([ys, y_last[None, :]], axis=0) + 1  # [L, B]
+        vals = states.T.reshape(C, n_chr * self._Lmax)
+        return vals[:, self._inv_pack]  # gather-based unpack to gene axis
+
+    # ------------------------------------------------------------------
+    # jitted entry points
+    # ------------------------------------------------------------------
+
+    def _ref_stats_impl(self, ref_counts, norm_factor):
+        """Stage statistics from the reference cells: log-space gene means
+        and residual-space gene means (single pooled reference group here;
+        multi-group bounds reduce to the same min/max machinery)."""
+        cs = jnp.sum(ref_counts, axis=1, keepdims=True)
+        xlog = jnp.log2(ref_counts / cs * norm_factor + 1.0)
+        ref_means_log = jnp.mean(xlog, axis=0, keepdims=True)
+        # run the refs through the first half to get residual-stage means
+        x = self._subtract(xlog, ref_means_log)
+        x = jnp.clip(x, -self.config.max_centered_threshold,
+                     self.config.max_centered_threshold)
+        x = self._smooth(x)
+        if self.config.center_method == "median":
+            x = x - jnp.median(x, axis=1, keepdims=True)
+        else:
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+        ref_means_resid = jnp.mean(x, axis=0, keepdims=True)
+        # denoise bounds on the final reference residuals
+        final = jnp.exp2(self._subtract(x, ref_means_resid))
+        mean_ref = jnp.mean(final)
+        sd_ref = jnp.mean(jnp.std(final, axis=1, ddof=1)) * self.config.sd_amplifier
+        return ref_means_log, ref_means_resid, jnp.stack([mean_ref, sd_ref])
+
+    def _transform_impl(self, counts, norm_factor, ref_means_log, ref_means_resid):
+        return self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
+
+    def _full_impl(self, counts, norm_factor, ref_means_log, ref_means_resid):
+        resid = self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
+        states = self._viterbi(resid)
+        return resid, states
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def ref_stats(self, ref_counts, norm_factor):
+        return self._ref_stats(jnp.asarray(ref_counts, jnp.float32),
+                               jnp.float32(norm_factor))
+
+    def transform_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid):
+        return self._transform(jnp.asarray(counts, jnp.float32),
+                               jnp.float32(norm_factor), ref_means_log, ref_means_resid)
+
+    def full_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid):
+        """Residual + per-cell HMM states for one cell chunk."""
+        return self._full(jnp.asarray(counts, jnp.float32), jnp.float32(norm_factor),
+                          ref_means_log, ref_means_resid)
+
+
+def make_cell_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the cell axis."""
+    devs = np.array(jax.devices()[: n_devices or len(jax.devices())])
+    return Mesh(devs, axis_names=("cells",))
