@@ -179,6 +179,41 @@ def run_bayesian_mixture(
     return result, regions
 
 
+def remove_cells_filter(
+    obj: InferCNV,
+    hmm_states: np.ndarray,
+    hmm_type: str,
+    BayesMaxPNormal: float,
+    hspike: Optional[InferCNV],
+    report_by: str = "subcluster",
+    seed: int = 12345,
+    max_rounds: int = 5,
+) -> Tuple[np.ndarray, BayesResult]:
+    """Alternative postMcmcMethod='removeCells' (reference removeCells
+    :650-685): per region, cells whose posterior P(eps = normal) exceeds the
+    threshold get the region reset to neutral for *those cells only*; the
+    sampler re-runs recursively until no such cells remain."""
+    neutral = hmm_mod.NEUTRAL_STATE_I6 if hmm_type == "i6" else hmm_mod.NEUTRAL_STATE_I3
+    states = np.array(hmm_states)
+    result = BayesResult()
+    for round_i in range(max_rounds):
+        result, regions = run_bayesian_mixture(
+            obj, states, hmm_type, hspike, report_by=report_by, seed=seed + round_i)
+        if not regions:
+            return states, result
+        changed = 0
+        for ri, r in enumerate(regions):
+            cell_p = result.cell_probabilities[ri]  # [S, n_cells]
+            bad = np.nonzero(cell_p[neutral - 1] > BayesMaxPNormal)[0]
+            if bad.size:
+                states[np.ix_(r["cell_idx"][bad], r["gene_idx"])] = neutral
+                changed += bad.size
+        log_info(f"removeCells round {round_i}: reset {changed} cell-regions")
+        if changed == 0:
+            break
+    return states, result
+
+
 def bayesian_filter_states(
     obj: InferCNV,
     hmm_states: np.ndarray,
@@ -189,11 +224,15 @@ def bayesian_filter_states(
     out_dir: Optional[str] = None,
     report_by: str = "subcluster",
     seed: int = 12345,
+    post_mcmc_method: str = "removeCNV",
 ) -> Tuple[np.ndarray, BayesResult]:
     """removeCNV + reassignCNV (reference filterHighPNormals :1394-1440).
 
     Returns (filtered state matrix, BayesResult)."""
     neutral = hmm_mod.NEUTRAL_STATE_I6 if hmm_type == "i6" else hmm_mod.NEUTRAL_STATE_I3
+    if post_mcmc_method == "removeCells":
+        return remove_cells_filter(obj, hmm_states, hmm_type, BayesMaxPNormal,
+                                   hspike, report_by=report_by, seed=seed)
     result, regions = run_bayesian_mixture(
         obj, hmm_states, hmm_type, hspike, report_by=report_by, seed=seed)
     states = np.array(hmm_states)

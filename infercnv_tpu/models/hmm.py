@@ -343,6 +343,58 @@ def predict_hmm_on_groups(
     return out
 
 
+def predict_hmm_on_subclusters_per_chr(
+    obj: InferCNV,
+    params: HMMParams,
+    subclusters_per_chr: Dict[str, Dict[str, np.ndarray]],
+    trend_fits: Optional[Dict[str, Tuple[float, float]]] = None,
+    levels: Sequence[str] = I6_LEVELS,
+) -> np.ndarray:
+    """Per-chromosome subcluster HMM (reference
+    predict_CNV_via_HMM_on_tumor_subclusters_per_chr :412-487): each
+    chromosome is predicted with its own cell partition, then the top-level
+    subclusters force a per-region consensus."""
+    from infercnv_tpu.report.regions import get_predicted_cnv_regions
+
+    log_info("predict_hmm_on_subclusters_per_chr()")
+    S = params.num_states
+    out = np.full(obj.expr.shape, (S - 1) // 2 + 1, np.int32)
+    for ci, cname in enumerate(obj.gene_order.chr_names):
+        if cname not in subclusters_per_chr:
+            continue
+        gsel = obj.gene_order.chr_gene_indices(cname)
+        if gsel.size < 2:
+            continue
+        sub_go = GeneOrder(
+            names=tuple(obj.gene_order.names[i] for i in gsel),
+            chr_names=(cname,),
+            chr_ids=np.zeros(gsel.size, np.int32),
+            start=obj.gene_order.start[gsel],
+            stop=obj.gene_order.stop[gsel],
+        )
+        groups = subclusters_per_chr[cname]
+        idxs = [np.asarray(v) for v in groups.values()]
+        rows = np.stack([obj.expr[np.ix_(ix, gsel)].mean(axis=0) for ix in idxs])
+        if trend_fits is not None:
+            group_sds = np.stack([
+                state_emission_sds(len(ix), trend_fits, levels) for ix in idxs])
+        else:
+            group_sds = None
+        st = viterbi_per_group(rows, sub_go, params, group_sds)
+        for r, ix in enumerate(idxs):
+            out[np.ix_(ix, gsel)] = st[r]
+    # force consensus per top-level subcluster region (reference :469-485)
+    cell_lut = {n: i for i, n in enumerate(obj.cell_names)}
+    gene_lut = {n: i for i, n in enumerate(obj.gene_order.names)}
+    regions = get_predicted_cnv_regions(obj, out, by="subcluster")
+    for gr in regions:
+        cell_idx = np.array([cell_lut[c] for c in gr.cells], np.int64)
+        for r in gr.regions:
+            gidx = [gene_lut[g] for g in r.genes]
+            out[np.ix_(cell_idx, gidx)] = r.state
+    return out
+
+
 def assign_states_to_proxy_values(states: np.ndarray, num_states: int = 6) -> np.ndarray:
     """State index (1-based) -> CNV proxy level
     (reference assign_HMM_states_to_proxy_expr_vals :1191-1206 i6,

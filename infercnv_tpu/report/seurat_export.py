@@ -1,0 +1,171 @@
+"""Downstream metadata export — the add_to_seurat analogue.
+
+reference: R/seurat_interaction.R add_to_seurat (:23-214) + .get_features
+(:244-616): from the final object and the HMM region/gene reports, build
+per-chromosome per-cell features (has_cnv / has_loss / has_dupli booleans,
+gene-count proportions, i6 |state - center|-scaled proportions) and top-N
+largest loss/dupli CNVs matched across cell groups by bp tolerance; write
+``map_metadata_from_infercnv.txt`` (plus top_losses.txt / top_dupli.txt).
+
+Python-side interop targets: a pandas-style TSV always, and an AnnData
+``.obs`` update when anndata/scanpy objects are passed (the Python
+ecosystem's Seurat counterpart).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from infercnv_tpu.core.object import InferCNV
+from infercnv_tpu.report.regions import GroupRegions
+from infercnv_tpu.utils.logging import log_info
+
+
+def _top_n_regions(region_rows: List[dict], top_n: int, bp_tolerance: float):
+    """Group same-CNV regions across cell groups by (chr, ~start, ~end)
+    within bp_tolerance; return top_n by total gene count
+    (reference .get_top_n_regions seurat_interaction.R:618+)."""
+    clusters: List[dict] = []
+    rows = sorted(region_rows, key=lambda r: -r["n_genes"])
+    for r in rows:
+        placed = False
+        for cl in clusters:
+            if (cl["chr"] == r["chr"]
+                    and abs(cl["start"] - r["start"]) <= bp_tolerance
+                    and abs(cl["end"] - r["end"]) <= bp_tolerance):
+                cl["groups"].append(r["group"])
+                cl["n_genes"] += r["n_genes"]
+                placed = True
+                break
+        if not placed:
+            clusters.append({"chr": r["chr"], "start": r["start"], "end": r["end"],
+                             "groups": [r["group"]], "n_genes": r["n_genes"]})
+    clusters.sort(key=lambda c: -c["n_genes"])
+    return clusters[:top_n]
+
+
+def compute_cnv_features(
+    obj: InferCNV,
+    group_regions: List[GroupRegions],
+    hmm_type: str = "i6",
+    top_n: int = 10,
+    bp_tolerance: float = 2_000_000,
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Returns ({feature_name: [C] vector}, feature order)."""
+    center = 3 if hmm_type == "i6" else 2
+    scaling = 2.0
+    C = obj.num_cells
+    go = obj.gene_order
+    chr_gene_count = {go.chr_names[ci]: max(e - b, 1)
+                      for ci, (b, e) in enumerate(go.chr_ranges())}
+    name_to_cell = {n: i for i, n in enumerate(obj.cell_names)}
+
+    feats: Dict[str, np.ndarray] = {}
+    order: List[str] = []
+    kinds = ["has_cnv", "has_loss", "has_dupli",
+             "proportion_cnv", "proportion_loss", "proportion_dupli"]
+    if hmm_type == "i6":
+        kinds += ["proportion_scaled_cnv", "proportion_scaled_loss",
+                  "proportion_scaled_dupli"]
+    for lv in go.chr_names:
+        for k in kinds:
+            name = f"{k}_{lv}"
+            feats[name] = np.zeros(C, bool) if k.startswith("has") else np.zeros(C)
+            order.append(name)
+
+    loss_rows, dupli_rows = [], []
+    for gr in group_regions:
+        cells = np.array([name_to_cell[c] for c in gr.cells], np.int64)
+        if cells.size == 0:
+            continue
+        # pool per-gene states per chromosome for this group
+        per_chr: Dict[str, List[Tuple[int, str]]] = {}
+        for r in gr.regions:
+            if r.state == center:
+                continue
+            per_chr.setdefault(r.chrom, []).extend(
+                (s, g) for s, g in zip(r.gene_states, r.genes))
+            row = {"group": gr.group_name, "chr": r.chrom, "start": r.start,
+                   "end": r.end, "n_genes": len(r.genes)}
+            (loss_rows if r.state < center else dupli_rows).append(row)
+        for c, entries in per_chr.items():
+            states = np.array([s for s, _ in entries])
+            denom = chr_gene_count[c]
+            feats[f"has_cnv_{c}"][cells] = True
+            feats[f"proportion_cnv_{c}"][cells] = states.size / denom
+            if hmm_type == "i6":
+                feats[f"proportion_scaled_cnv_{c}"][cells] = (
+                    np.abs(states - center).sum() / (denom * scaling))
+            loss = states[states < center]
+            if loss.size:
+                feats[f"has_loss_{c}"][cells] = True
+                feats[f"proportion_loss_{c}"][cells] = loss.size / denom
+                if hmm_type == "i6":
+                    feats[f"proportion_scaled_loss_{c}"][cells] = (
+                        abs((loss - center).sum()) / (denom * scaling))
+            dupli = states[states > center]
+            if dupli.size:
+                feats[f"has_dupli_{c}"][cells] = True
+                feats[f"proportion_dupli_{c}"][cells] = dupli.size / denom
+                if hmm_type == "i6":
+                    feats[f"proportion_scaled_dupli_{c}"][cells] = (
+                        (dupli - center).sum() / (denom * scaling))
+
+    group_cells = {gr.group_name: np.array([name_to_cell[c] for c in gr.cells],
+                                           np.int64)
+                   for gr in group_regions}
+    for label, rows in (("top_loss", loss_rows), ("top_dupli", dupli_rows)):
+        tops = _top_n_regions(rows, top_n, bp_tolerance)
+        for i, cl in enumerate(tops, start=1):
+            name = f"{label}_{i}"
+            v = np.zeros(C, bool)
+            for g in cl["groups"]:
+                v[group_cells[g]] = True
+            feats[name] = v
+            order.append(name)
+    return feats, order
+
+
+def add_to_metadata(
+    obj: InferCNV,
+    group_regions: List[GroupRegions],
+    out_dir: str,
+    hmm_type: str = "i6",
+    top_n: int = 10,
+    bp_tolerance: float = 2_000_000,
+    adata=None,
+    column_prefix: str = "",
+):
+    """Write map_metadata_from_infercnv.txt; optionally attach features as
+    columns of an AnnData .obs (anndata being Python's Seurat metadata
+    analogue).  Returns the feature dict."""
+    feats, order = compute_cnv_features(obj, group_regions, hmm_type, top_n,
+                                        bp_tolerance)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "map_metadata_from_infercnv.txt")
+    with open(path, "w") as f:
+        f.write("\t" + "\t".join(column_prefix + n for n in order) + "\n")
+        for i, cell in enumerate(obj.cell_names):
+            vals = []
+            for n in order:
+                v = feats[n][i]
+                vals.append(str(bool(v)) if feats[n].dtype == bool else f"{v:g}")
+            f.write(cell + "\t" + "\t".join(vals) + "\n")
+    log_info(f"-wrote {path}")
+
+    # top losses / duplications membership files (reference :400-470)
+    for label in ("top_loss", "top_dupli"):
+        fname = "top_losses.txt" if label == "top_loss" else "top_dupli.txt"
+        with open(os.path.join(out_dir, fname), "w") as f:
+            for n in order:
+                if n.startswith(label):
+                    members = [obj.cell_names[i] for i in np.nonzero(feats[n])[0]]
+                    f.write(";".join([n] + members) + "\n")
+
+    if adata is not None:
+        for n in order:
+            adata.obs[column_prefix + n] = np.asarray(feats[n])
+    return feats

@@ -370,14 +370,20 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             neutral = hmm_mod.NEUTRAL_STATE_I3
 
         if cfg.analysis_mode == "subclusters":
-            groups: Dict[str, np.ndarray] = {}
-            if obj.tumor_subclusters is not None:
-                for _g, subs in obj.tumor_subclusters["subclusters"].items():
-                    groups.update(subs)
-            if not groups:
-                log_warn("No subclusters defined, running on whole samples")
-                groups = {**obj.obs_groups, **obj.ref_groups}
-            hmm_states = hmm_mod.predict_hmm_on_groups(obj, params, groups, trend_fits)
+            if (cfg.per_chr_hmm_subclusters and cfg.HMM_type == "i6"
+                    and cfg.tumor_subcluster_partition_method == "leiden"
+                    and result.subclusters_per_chr):
+                hmm_states = hmm_mod.predict_hmm_on_subclusters_per_chr(
+                    obj, params, result.subclusters_per_chr, trend_fits)
+            else:
+                groups: Dict[str, np.ndarray] = {}
+                if obj.tumor_subclusters is not None:
+                    for _g, subs in obj.tumor_subclusters["subclusters"].items():
+                        groups.update(subs)
+                if not groups:
+                    log_warn("No subclusters defined, running on whole samples")
+                    groups = {**obj.obs_groups, **obj.ref_groups}
+                hmm_states = hmm_mod.predict_hmm_on_groups(obj, params, groups, trend_fits)
         elif cfg.analysis_mode == "cells":
             hmm_states = hmm_mod.predict_hmm_on_cells(obj, params)
         else:  # samples

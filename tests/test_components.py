@@ -1,0 +1,142 @@
+"""Tests for auxiliary components: median filter, newick, metadata export,
+sampling, per-chr HMM."""
+
+import numpy as np
+import pytest
+
+from infercnv_tpu.core.genome import GeneOrder
+from infercnv_tpu.core.object import InferCNV
+from infercnv_tpu.ops.median_filter import _median_filter_block, apply_median_filtering
+from infercnv_tpu.report.newick import linkage_to_newick
+from infercnv_tpu.report.regions import CnvRegion, GroupRegions
+from infercnv_tpu.report.seurat_export import compute_cnv_features
+from infercnv_tpu.viz.per_group import sample_object
+
+
+def median_filter_naive(data, window_size):
+    """Literal loop transcription of the reference .median_filter
+    (noise_reduction.R:92-113)."""
+    half = (window_size - 1) // 2
+    xdim, ydim = data.shape
+    out = data.copy()
+    for posx in range(1, xdim + 1):
+        posxa = 1 if posx <= half + 1 else posx - (half + 1)
+        posxb = xdim if posx >= xdim - (half + 1) else posx + (half + 1)
+        for posy in range(1, ydim + 1):
+            posya = 1 if posy <= half + 1 else posy - (half + 1)
+            posyb = ydim if posy >= ydim - (half + 1) else posy + (half + 1)
+            out[posx - 1, posy - 1] = np.median(
+                data[posxa - 1:posxb, posya - 1:posyb])
+    return out
+
+
+@pytest.mark.parametrize("shape", [(20, 9), (8, 8), (30, 3)])
+def test_median_filter_matches_reference_loop(shape, rng):
+    data = rng.normal(size=shape)
+    got = _median_filter_block(data, 7)
+    exp = median_filter_naive(data, 7)
+    np.testing.assert_allclose(got, exp)
+
+
+def _small_obj(rng, C=12, G=20):
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=("chr1", "chr2"),
+        chr_ids=np.array([0] * (G // 2) + [1] * (G - G // 2), np.int32),
+        start=np.arange(1, G + 1) * 100, stop=np.arange(1, G + 1) * 100 + 50,
+    )
+    expr = rng.normal(1, 0.1, (C, G)).astype(np.float32)
+    obj = InferCNV(
+        expr=expr, counts=expr.copy(), gene_order=go,
+        cell_names=[f"c{i}" for i in range(C)],
+        ref_groups={"normal": np.arange(0, 4)},
+        obs_groups={"tumor": np.arange(4, C)},
+    )
+    obj.tumor_subclusters = {
+        "subclusters": {
+            "tumor": {"tumor_s1": np.arange(4, 8), "tumor_s2": np.arange(8, C)},
+            "normal": {"normal_s1": np.arange(0, 4)},
+        },
+        "hc": {},
+    }
+    return obj
+
+
+def test_apply_median_filtering_smoke(rng):
+    obj = _small_obj(rng)
+    before = obj.expr.copy()
+    apply_median_filtering(obj, window_size=3)
+    assert obj.expr.shape == before.shape
+    assert not np.allclose(obj.expr, before)  # something was smoothed
+    # median filtering reduces within-block variance
+    assert obj.expr.std() < before.std()
+
+
+def test_linkage_to_newick():
+    from scipy.cluster import hierarchy
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 3))
+    Z = hierarchy.linkage(x, method="ward")
+    nwk = linkage_to_newick(Z, [f"leaf{i}" for i in range(5)])
+    assert nwk.endswith(";")
+    assert nwk.count("(") == 4  # n-1 internal nodes
+    for i in range(5):
+        assert f"leaf{i}" in nwk
+
+
+def test_compute_cnv_features(rng):
+    obj = _small_obj(rng)
+    regions = [GroupRegions(
+        group_name="tumor_s1",
+        cells=[f"c{i}" for i in range(4, 8)],
+        regions=[
+            CnvRegion(name="chr1-region_1", state=2, chrom="chr1",
+                      start=100, end=550,
+                      genes=[f"g{i}" for i in range(5)],
+                      gene_states=[2] * 5,
+                      gene_starts=list(range(100, 600, 100)),
+                      gene_stops=list(range(150, 650, 100))),
+            CnvRegion(name="chr2-region_2", state=5, chrom="chr2",
+                      start=1100, end=1550,
+                      genes=[f"g{i}" for i in range(10, 15)],
+                      gene_states=[5] * 5,
+                      gene_starts=list(range(1100, 1600, 100)),
+                      gene_stops=list(range(1150, 1650, 100))),
+        ],
+    )]
+    feats, order = compute_cnv_features(obj, regions, hmm_type="i6")
+    cells_s1 = np.arange(4, 8)
+    assert feats["has_loss_chr1"][cells_s1].all()
+    assert not feats["has_loss_chr1"][np.arange(0, 4)].any()
+    assert feats["has_dupli_chr2"][cells_s1].all()
+    np.testing.assert_allclose(feats["proportion_loss_chr1"][cells_s1], 0.5)
+    # scaled: |2-3|*5 genes / (10 genes * 2)
+    np.testing.assert_allclose(feats["proportion_scaled_loss_chr1"][cells_s1], 0.25)
+    # dupli scaled: (5-3)*5 / (10*2) = 0.5
+    np.testing.assert_allclose(feats["proportion_scaled_dupli_chr2"][cells_s1], 0.5)
+    assert feats["top_loss_1"][cells_s1].all()
+    assert feats["top_dupli_1"][cells_s1].all()
+
+
+def test_sample_object(rng):
+    obj = _small_obj(rng, C=40)
+    obj.tumor_subclusters = {
+        "subclusters": {"tumor": {"tumor_s1": np.arange(4, 30),
+                                  "tumor_s2": np.arange(30, 40)}},
+        "hc": {},
+    }
+    sub = sample_object(obj, n_cells=6, above_m=5, on_references=False)
+    assert sub.num_cells < obj.num_cells
+    # every subcluster keeps at least one member
+    subs = sub.tumor_subclusters["subclusters"]["tumor"]
+    assert all(len(v) >= 1 for v in subs.values())
+    sub.validate()
+
+
+def test_bh_adjust_matches_r():
+    from infercnv_tpu.ops.de_mask import bh_adjust
+
+    p = np.array([0.01, 0.02, 0.03, 0.5, 0.9])
+    # R: p.adjust(p, 'BH') = 0.050, 0.050, 0.050, 0.625, 0.900
+    np.testing.assert_allclose(bh_adjust(p), [0.05, 0.05, 0.05, 0.625, 0.9])
