@@ -151,9 +151,18 @@ def leiden(
     """Partition the graph; returns int membership [C] (0-based).
 
     objective: 'CPM' or 'modularity' (igraph cluster_leiden semantics:
-    modularity uses gamma * k_v * k_C / 2m)."""
+    modularity uses gamma * k_v * k_C / 2m).
+
+    Dispatches to the native C++ implementation (infercnv_tpu/native) when
+    available; the pure-Python path below is the reference fallback."""
     A = sparse.csr_matrix(A, dtype=np.float64)
     A.sum_duplicates()
+    from infercnv_tpu.native import leiden_native
+
+    native = leiden_native(A.indptr, A.indices, A.data, A.shape[0],
+                           objective, resolution, seed, max_levels)
+    if native is not None:
+        return native
     rng = np.random.default_rng(seed)
     n = A.shape[0]
     total_weight = float(A.sum())

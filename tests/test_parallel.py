@@ -1,0 +1,69 @@
+"""Sharding tests: the cell-sharded engine must produce bitwise-identical
+results to the unsharded path on the 8-device CPU mesh (SURVEY §4: 1-chip vs
+N-chip equality of merged results)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from infercnv_tpu.core.genome import GeneOrder
+from infercnv_tpu.models.hmm import HMMParams
+from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig, make_cell_mesh
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    n_chr, gpc = 3, 96
+    G = n_chr * gpc
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=tuple(f"chr{i+1}" for i in range(n_chr)),
+        chr_ids=np.repeat(np.arange(n_chr), gpc).astype(np.int32),
+        start=np.arange(G), stop=np.arange(G),
+    )
+    hmm = HMMParams(
+        means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+        sds=np.array([0.15, 0.18, 0.12, 0.2, 0.22, 0.3]),
+        t=1e-6,
+    )
+    counts = rng.poisson(
+        rng.gamma(2.0, 30.0, G)[None, :] * np.ones((64, 1))).astype(np.float32)
+    # plant CNVs in the non-reference cells
+    counts[32:, gpc:2 * gpc] = np.maximum(counts[32:, gpc:2 * gpc] * 0.5, 0)
+    return go, hmm, counts
+
+
+def test_sharded_equals_unsharded(problem):
+    go, hmm, counts = problem
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    norm_factor = float(np.median(counts.sum(axis=1)))
+
+    plain = CnvEngine(go, hmm, EngineConfig(window_length=11))
+    ml, mr, bounds = plain.ref_stats(counts[:16], norm_factor)
+    r0, s0 = plain.full_chunk(counts, norm_factor, ml, mr)
+
+    mesh = make_cell_mesh(8)
+    sharded = CnvEngine(go, hmm, EngineConfig(window_length=11), mesh=mesh)
+    ml2, mr2, bounds2 = sharded.ref_stats(counts[:16], norm_factor)
+    counts_sh = jax.device_put(jnp.asarray(counts),
+                               NamedSharding(mesh, P("cells", None)))
+    r1, s1 = sharded.full_chunk(counts_sh, norm_factor, ml2, mr2)
+
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(ml2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_states_detect_planted_cnv(problem):
+    go, hmm, counts = problem
+    norm_factor = float(np.median(counts.sum(axis=1)))
+    engine = CnvEngine(go, hmm, EngineConfig(window_length=11))
+    ml, mr, _ = engine.ref_stats(counts[:16], norm_factor)
+    _, states = engine.full_chunk(counts, norm_factor, ml, mr)
+    states = np.asarray(states)
+    # planted 0.5x deletion on chr2 of cells 32+
+    assert (states[32:, 96:192] < 3).mean() > 0.5
+    assert (states[:16] == 3).mean() > 0.9
