@@ -128,13 +128,15 @@ class CnvEngine:
 
     def _residual(self, counts, norm_factor, ref_means_log, ref_means_resid):
         cfg = self.config
+        from infercnv_tpu.ops.median import row_median
+
         cs = jnp.sum(counts, axis=1, keepdims=True)
         x = jnp.log2(counts / cs * norm_factor + 1.0)
         x = self._subtract(x, ref_means_log)
         x = jnp.clip(x, -cfg.max_centered_threshold, cfg.max_centered_threshold)
         x = self._smooth(x)
         if cfg.center_method == "median":
-            x = x - jnp.median(x, axis=1, keepdims=True)
+            x = x - row_median(x)[:, None]  # exact, radix-select (no sort)
         else:
             x = x - jnp.mean(x, axis=1, keepdims=True)
         x = self._subtract(x, ref_means_resid)

@@ -140,3 +140,16 @@ def test_bh_adjust_matches_r():
     p = np.array([0.01, 0.02, 0.03, 0.5, 0.9])
     # R: p.adjust(p, 'BH') = 0.050, 0.050, 0.050, 0.625, 0.900
     np.testing.assert_allclose(bh_adjust(p), [0.05, 0.05, 0.05, 0.625, 0.9])
+
+
+def test_row_median_exact(rng):
+    from infercnv_tpu.ops.median import row_median
+
+    for n in (5, 6, 101, 256):
+        x = rng.normal(size=(17, n)).astype(np.float32)
+        got = np.asarray(row_median(x))
+        exp = np.median(x, axis=1)
+        np.testing.assert_array_equal(got, exp)
+    # with duplicates and negatives
+    x = np.array([[1.0, 1.0, -2.0, -2.0], [0.0, 0.0, 0.0, 5.0]], np.float32)
+    np.testing.assert_array_equal(np.asarray(row_median(x)), np.median(x, axis=1))
