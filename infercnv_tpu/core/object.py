@@ -158,6 +158,13 @@ def create_infercnv_object(
       gene_order_table: gene -> (chr, start, stop).
       chr_file_order: unique chromosome names in gene-order-file order.
     """
+    try:  # accept scipy sparse (dgCMatrix analogue, reference :146-165)
+        import scipy.sparse as sp
+
+        if sp.issparse(counts_matrix):
+            counts_matrix = counts_matrix.toarray()
+    except ImportError:
+        pass
     counts_matrix = np.asarray(counts_matrix, np.float64)
     gene_names = list(gene_names)
     cell_names = list(cell_names)

@@ -52,6 +52,8 @@ class BayesResult:
         self.cell_probabilities: List[np.ndarray] = []             # per region [S, n_cells]
         self.removed_regions: List[str] = []
         self.reassigned: List[Tuple[str, int, int]] = []
+        self.theta_traces: Optional[np.ndarray] = None  # [chains, T, R, S]
+        self.regions: List[dict] = []  # region descriptors (modeled, pre-filter)
 
 
 def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int, n_iter: int):
@@ -65,6 +67,8 @@ def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int, n_ite
     ll = jnp.asarray(loglik, jnp.float32)
     m = jnp.asarray(cell_mask, jnp.float32)
 
+    thin = 10  # keep every 10th post-burn-in theta draw for diagnostics
+
     def one_chain(chain_key, init_state):
         def sweep(carry, inputs):
             eps, theta_sum, eps_sum = carry
@@ -76,21 +80,25 @@ def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int, n_ite
             draw = jax.random.categorical(k2, logits, axis=-1)  # [R, C]
             eps_new = jax.nn.one_hot(draw, S)
             post = (it >= n_burn).astype(jnp.float32)
-            return (eps_new, theta_sum + post * theta, eps_sum + post * eps_new), None
+            return ((eps_new, theta_sum + post * theta, eps_sum + post * eps_new),
+                    theta)
 
         eps0 = jax.nn.one_hot(jnp.full((R, C), init_state), S)
         keys = jax.random.split(chain_key, n_burn + n_iter)
         its = jnp.arange(n_burn + n_iter)
-        (eps_f, theta_sum, eps_sum), _ = jax.lax.scan(
+        (eps_f, theta_sum, eps_sum), thetas_all = jax.lax.scan(
             sweep, (eps0, jnp.zeros((R, S)), jnp.zeros((R, C, S))), (keys, its))
-        return theta_sum / n_iter, eps_sum / n_iter             # [R, S], [R, C, S]
+        # gather the thinned trace ([n_iter/thin, R, S])
+        idx = n_burn + thin * jnp.arange(n_iter // thin)
+        trace = thetas_all[idx]
+        return theta_sum / n_iter, eps_sum / n_iter, trace
 
     chain_keys = jax.random.split(key, n_chains)
     init_states = jnp.arange(n_chains) % loglik.shape[-1]
-    thetas, epss = jax.vmap(one_chain)(chain_keys, init_states)
+    thetas, epss, traces = jax.vmap(one_chain)(chain_keys, init_states)
     theta_mean = jnp.mean(thetas, axis=0)                       # [R, S]
     eps_freq = jnp.mean(epss, axis=0)                           # [R, C, S]
-    return theta_mean, eps_freq
+    return theta_mean, eps_freq, traces                         # [chains, T, R, S]
 
 
 def run_bayesian_mixture(
@@ -139,6 +147,7 @@ def run_bayesian_mixture(
             })
 
     result = BayesResult()
+    result.regions = regions
     if not regions:
         return result, regions
     R = len(regions)
@@ -166,10 +175,11 @@ def run_bayesian_mixture(
     ll = ll * jnp.asarray(cell_mask)[:, :, None]
 
     n_chains = N_CHAINS_I6 if hmm_type == "i6" else N_CHAINS_I3
-    theta_mean, eps_freq = _gibbs_all_regions(
+    theta_mean, eps_freq, traces = _gibbs_all_regions(
         jax.random.PRNGKey(seed), ll, cell_mask, n_chains, N_BURN, N_ITER)
     theta_mean = np.asarray(theta_mean)                            # [R, S]
     eps_freq = np.asarray(eps_freq)                                # [R, C, S]
+    result.theta_traces = np.asarray(traces)                       # [chains, T, R, S]
 
     result.cnv_region_names = [r["name"] for r in regions]
     result.cnv_state_probabilities = theta_mean.T                  # [S, R]

@@ -130,8 +130,19 @@ def build_hspike(
                                               0.1, dropout_spline)
             sim_tumor = simulate_simple_counts(k2, hspike_gene_means, HSPIKE_NUM_CELLS,
                                                0.1, dropout_spline)
+        elif sim_method == "splatter":
+            from infercnv_tpu.sim.splatter import (
+                estimate_splatter_params,
+                simulate_splatter_counts,
+            )
+
+            sp = estimate_splatter_params(obj.counts[np.asarray(normal_idx)].T)
+            sp.nGenes, sp.nCells = num_genes, HSPIKE_NUM_CELLS
+            sim_norm = simulate_splatter_counts(k1, sp, gene_means, HSPIKE_NUM_CELLS)
+            sim_tumor = simulate_splatter_counts(k2, sp, hspike_gene_means, HSPIKE_NUM_CELLS)
         else:
-            raise ValueError(f"sim_method {sim_method!r} not supported (use meanvar/simple)")
+            raise ValueError(f"sim_method {sim_method!r} not supported "
+                             "(use meanvar/simple/splatter)")
 
         norm_name = f"simnorm_cell_{normal_type}"
         tumor_name = f"spike_tumor_cell_{normal_type}"

@@ -26,6 +26,7 @@ from infercnv_tpu.runner import checkpoint as ckpt
 from infercnv_tpu.runner.config import RunConfig
 from infercnv_tpu.subcluster.partition import define_tumor_subclusters, split_references
 from infercnv_tpu.utils.logging import log_info, log_warn, set_debug
+from infercnv_tpu.utils.profiling import StepTimer
 
 
 class RunResult:
@@ -39,6 +40,7 @@ class RunResult:
         self.subclusters_per_chr = None
         self.bayes_result = None
         self.region_reports = None
+        self.timer = None
 
 
 def _mirrored(obj: InferCNV, fn, *args, **kwargs) -> None:
@@ -123,6 +125,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
 
     result = RunResult()
     obj = obj.copy()
+    timer = StepTimer(cfg.out_dir)
+    result.timer = timer
 
     resume_token = f".HMM{cfg.HMM_type}" if cfg.HMM else ""
     cum_args = ckpt.relevant_args_by_step(cfg)
@@ -172,11 +176,12 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     # STEP 3: depth normalization (+ hspike build)
     if skip_past < 3:
         log_info("STEP 03: normalization by sequencing depth")
-        obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
-        if cfg.HMM and cfg.HMM_type == "i6":
-            obj.hspike = build_hspike(obj, sim_method=cfg.sim_method,
-                                      aggregate_normals=cfg.hspike_aggregate_normals,
-                                      seed=cfg.seed)
+        with timer.step("03_normalize+hspike"):
+            obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
+            if cfg.HMM and cfg.HMM_type == "i6":
+                obj.hspike = build_hspike(obj, sim_method=cfg.sim_method,
+                                          aggregate_normals=cfg.hspike_aggregate_normals,
+                                          seed=cfg.seed)
         save(3)
     if done(3):
         result.infercnv_obj = obj
@@ -252,7 +257,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     # STEP 10: smoothing (hot loop #1)
     if skip_past < 10:
         log_info(f"STEP 10: Smoothing data per cell by chromosome ({cfg.smooth_method})")
-        _smooth(obj, cfg)
+        with timer.step("10_smooth"):
+            _smooth(obj, cfg)
         save(10)
     if done(10):
         result.infercnv_obj = obj
@@ -301,6 +307,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         if (cfg.analysis_mode == "subclusters"
                 and cfg.tumor_subcluster_partition_method != "random_trees"):
             log_info(f"STEP 15: computing tumor subclusters via {cfg.tumor_subcluster_partition_method}")
+            timer_ctx = timer.step("15_subclusters")
+            timer_ctx.__enter__()
             subclusters_per_chr = define_tumor_subclusters(
                 obj,
                 p_val=cfg.tumor_subcluster_pval,
@@ -319,6 +327,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 z_score_filter=cfg.z_score_filter,
                 seed=cfg.seed,
             )
+            timer_ctx.__exit__(None, None, None)
         elif cfg.analysis_mode != "subclusters":
             log_info("STEP 15: Clustering samples (not defining tumor subclusters)")
             define_tumor_subclusters(
@@ -356,6 +365,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     hmm_resume_token = f"{resume_token}.hmm_mode-{cfg.analysis_mode}"
     if cfg.HMM:
         log_info("STEP 17: HMM-based CNV prediction")
+        timer_hmm = timer.step("17_hmm")
+        timer_hmm.__enter__()
         if cfg.HMM_type == "i6":
             cnv_mean_sd = hmm_mod.get_spike_dists(obj.hspike)
             trend_fits = hmm_mod.cnv_mean_sd_trend_fit(obj.hspike, seed=cfg.seed)
@@ -400,6 +411,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             ignore_neutral_state=neutral,
             by=cfg.HMM_report_by,
         )
+        timer_hmm.__exit__(None, None, None)
         save(17, states=hmm_states)
         result.hmm_states = hmm_states
         result.hmm_gene_order = obj.gene_order
@@ -413,6 +425,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         log_info("STEP 18: Run Bayesian Network Model on HMM predicted CNVs")
         from infercnv_tpu.models.bayes import bayesian_filter_states
 
+        timer_bayes = timer.step("18_bayes")
+        timer_bayes.__enter__()
         hmm_states, bayes_out = bayesian_filter_states(
             obj, hmm_states,
             hmm_type=cfg.HMM_type,
@@ -423,8 +437,24 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             report_by=cfg.HMM_report_by,
             seed=cfg.seed,
         )
+        timer_bayes.__exit__(None, None, None)
         result.bayes_result = bayes_out
         result.hmm_states = hmm_states
+        bayes_dir = os.path.join(cfg.out_dir, f"BayesNetOutput{hmm_resume_token}")
+        if cfg.plot_probabilities and not cfg.no_plot:
+            from infercnv_tpu.viz.bayes_plots import (
+                plot_cell_probabilities,
+                plot_cnv_probabilities,
+                post_prob_normal_heatmap,
+            )
+
+            plot_cnv_probabilities(bayes_out, bayes_dir)
+            plot_cell_probabilities(bayes_out, bayes_dir)
+            post_prob_normal_heatmap(obj, bayes_out, bayes_out.regions, cfg.out_dir)
+        if cfg.diagnostics:
+            from infercnv_tpu.viz.bayes_plots import mcmc_diagnostic_plots
+
+            mcmc_diagnostic_plots(bayes_out, bayes_dir)
         save(19, states=hmm_states)
         # adjusted report files
         generate_cnv_region_reports(
@@ -492,5 +522,6 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         except ImportError:
             log_warn("viz module unavailable; skipping final heatmap")
 
+    timer.finish()
     result.infercnv_obj = obj
     return result
