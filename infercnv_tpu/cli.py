@@ -132,6 +132,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import numpy as np
 
+    if args.log_file:
+        from infercnv_tpu.utils.logging import set_log_file
+
+        set_log_file(args.log_file)
+
     from infercnv_tpu.io import load_infercnv_object
     from infercnv_tpu.runner.pipeline import run
 

@@ -59,6 +59,27 @@ def anscombe_transform(x):
     return 2.0 * jnp.sqrt(jnp.asarray(x, jnp.float32) + 3.0 / 8.0)
 
 
+def add_pseudocount(x, pseudocount: float = 1.0):
+    """x + pseudocount (reference add_pseudocount :3146-3158)."""
+    return jnp.asarray(x, jnp.float32) + pseudocount
+
+
+def make_zero_NA(x):
+    """Zeros -> NaN (reference make_zero_NA :2837-2860)."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x == 0, jnp.nan, x)
+
+
+def normalize_by_upper_quartile(x):
+    """Cross-cell upper-quartile normalization (reference
+    upper_quartile_norm :3193-3212): each cell scaled by its 75th
+    percentile, rescaled by the mean upper quartile."""
+    x = jnp.asarray(x, jnp.float32)
+    uq = jnp.quantile(x, 0.75, axis=1, keepdims=True)
+    uq = jnp.where(uq == 0, 1.0, uq)
+    return x / uq * jnp.mean(uq)
+
+
 # ---------------------------------------------------------------------------
 # gene filters
 # ---------------------------------------------------------------------------

@@ -112,6 +112,31 @@ def _clear_noise(obj: InferCNV, cfg: RunConfig) -> None:
             obj.expr = np.asarray(T.clear_noise_via_ref_mean_sd(obj.expr, ref_idx, cfg.sd_amplifier))
 
 
+def _plot_states(obj: InferCNV, values: np.ndarray, cfg: RunConfig,
+                 output_filename: str, title: str, x_center: float,
+                 x_range) -> None:
+    """Render a state/proxy-value matrix with the standard heatmap layout
+    (reference plots at steps 17 and 20, inferCNV_ops.R:1330-1351, 1483-1500)."""
+    from infercnv_tpu.viz.heatmap import plot_cnv as _plot_cnv
+
+    view = InferCNV(
+        expr=np.asarray(values, np.float32), counts=obj.counts,
+        gene_order=obj.gene_order, cell_names=list(obj.cell_names),
+        ref_groups=obj.ref_groups, obs_groups=obj.obs_groups,
+        tumor_subclusters=obj.tumor_subclusters,
+    )
+    try:
+        _plot_cnv(view, out_dir=cfg.out_dir, output_filename=output_filename,
+                  title=title, k_obs_groups=cfg.k_obs_groups,
+                  cluster_by_groups=cfg.cluster_by_groups,
+                  cluster_references=cfg.cluster_references,
+                  x_center=x_center, x_range=x_range,
+                  plot_chr_scale=cfg.plot_chr_scale, chr_lengths=cfg.chr_lengths,
+                  output_format=cfg.output_format)
+    except Exception as e:  # plotting must never kill an analysis run
+        log_warn(f"state plot failed: {e}")
+
+
 def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     """Run the full pipeline.  kwargs mirror the reference run() arguments
     (see RunConfig).  Returns a RunResult."""
@@ -328,6 +353,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 seed=cfg.seed,
             )
             timer_ctx.__exit__(None, None, None)
+            if cfg.inspect_subclusters and not cfg.no_plot:
+                from infercnv_tpu.viz.subclusters import plot_subclusters
+
+                plot_subclusters(obj, out_dir=cfg.out_dir,
+                                 output_filename="infercnv_subclusters")
         elif cfg.analysis_mode != "subclusters":
             log_info("STEP 15: Clustering samples (not defining tumor subclusters)")
             define_tumor_subclusters(
@@ -341,6 +371,20 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         if cfg.save_rds:
             ckpt.save_step(obj, os.path.join(cfg.out_dir, "preliminary.infercnv_obj.npz"),
                            cum_args[14])
+        if not (cfg.no_prelim_plot or cfg.no_plot):
+            from infercnv_tpu.viz.heatmap import plot_cnv as _plot_cnv
+
+            _plot_cnv(obj, out_dir=cfg.out_dir,
+                      output_filename="infercnv.preliminary",
+                      title="Preliminary infercnv (pre-noise filtering)",
+                      k_obs_groups=cfg.k_obs_groups,
+                      cluster_by_groups=cfg.cluster_by_groups,
+                      cluster_references=cfg.cluster_references,
+                      plot_chr_scale=cfg.plot_chr_scale,
+                      chr_lengths=cfg.chr_lengths,
+                      write_expr=cfg.write_expr_matrix,
+                      write_phylo=cfg.write_phylo,
+                      output_format=cfg.output_format)
     if done(15):
         result.infercnv_obj = obj
         return result
@@ -415,6 +459,12 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         save(17, states=hmm_states)
         result.hmm_states = hmm_states
         result.hmm_gene_order = obj.gene_order
+        if not cfg.no_plot:
+            _plot_states(obj, hmm_states.astype(np.float32), cfg,
+                         output_filename=f"infercnv.17_HMM_pred{hmm_resume_token}",
+                         title="17_HMM_preds",
+                         x_center=float(neutral),
+                         x_range=(0.0, 6.0) if cfg.HMM_type == "i6" else (1.0, 3.0))
     if done(17):
         result.infercnv_obj = obj
         return result
@@ -474,6 +524,13 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         log_info("STEP 20: Converting HMM-based CNV states to repr expr vals")
         result.hmm_proxy_values = hmm_mod.assign_states_to_proxy_values(
             hmm_states, 6 if cfg.HMM_type == "i6" else 3)
+        if not cfg.no_plot:
+            _plot_states(obj, result.hmm_proxy_values, cfg,
+                         output_filename=(
+                             f"infercnv.20_HMM_pred{hmm_resume_token}"
+                             f".Pnorm_{cfg.BayesMaxPNormal:g}.repr_intensities"),
+                         title="20_HMM_preds.repr_intensities",
+                         x_center=1.0, x_range=(-1.0, 3.0))
     if done(20):
         result.infercnv_obj = obj
         return result
@@ -518,6 +575,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      cluster_references=cfg.cluster_references,
                      x_center=cfg.final_center_val if cfg.final_center_val is not None else 1.0,
                      x_range=cfg.final_scale_limits if cfg.final_scale_limits is not None else "auto",
+                     plot_chr_scale=cfg.plot_chr_scale,
+                     chr_lengths=cfg.chr_lengths,
+                     write_expr=cfg.write_expr_matrix,
+                     write_phylo=cfg.write_phylo,
+                     png_res=min(cfg.png_res, 200),
                      output_format=cfg.output_format)
         except ImportError:
             log_warn("viz module unavailable; skipping final heatmap")

@@ -17,6 +17,13 @@ def set_debug(debug: bool = True) -> None:
     _logger.setLevel(logging.DEBUG if debug else logging.INFO)
 
 
+def set_log_file(path: str) -> None:
+    """Also write log records to a file (CLI --log_file)."""
+    h = logging.FileHandler(path)
+    h.setFormatter(logging.Formatter("%(levelname)s [%(asctime)s] %(message)s", "%Y-%m-%d %H:%M:%S"))
+    _logger.addHandler(h)
+
+
 def log_info(msg: str) -> None:
     _logger.info(msg)
 

@@ -82,6 +82,48 @@ def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
     return idx[hierarchy.leaves_list(Z)]
 
 
+def _bp_scale_matrix(data: np.ndarray, gene_order, chr_lengths=None,
+                     width: int = 3000) -> Tuple[np.ndarray, List[int]]:
+    """Resample gene columns onto a bp-proportional axis
+    (reference plot_chr_scale, inferCNV_heatmap.R:352-397).  Returns the
+    resampled matrix and per-chromosome boundary bin indices."""
+    ranges = gene_order.chr_ranges()
+    lens = []
+    for ci, (b, e) in enumerate(ranges):
+        if chr_lengths is not None and ci < len(chr_lengths):
+            lens.append(int(chr_lengths[ci]))
+        elif e > b:
+            lens.append(int(gene_order.stop[b:e].max()))
+        else:
+            lens.append(1)
+    total = float(sum(lens))
+    bins = [max(2, int(round(width * l / total))) for l in lens]
+    out_cols = []
+    boundaries = [0]
+    for ci, (b, e) in enumerate(ranges):
+        nb = bins[ci]
+        block = np.full((data.shape[0], nb), np.nan, np.float32)
+        if e > b:
+            mid = (gene_order.start[b:e] + gene_order.stop[b:e]) / 2.0
+            pos = np.clip((mid / max(lens[ci], 1) * nb).astype(int), 0, nb - 1)
+            for k in range(nb):
+                sel = pos == k
+                if sel.any():
+                    block[:, k] = data[:, b:e][:, sel].mean(axis=1)
+            # fill empty bins with nearest filled bin
+            filled = ~np.isnan(block[0])
+            if filled.any():
+                idxs = np.arange(nb)
+                nearest = idxs.copy()
+                fi = idxs[filled]
+                for k in idxs[~filled]:
+                    nearest[k] = fi[np.argmin(np.abs(fi - k))]
+                block = block[:, nearest]
+        out_cols.append(block)
+        boundaries.append(boundaries[-1] + nb)
+    return np.concatenate(out_cols, axis=1), boundaries[:-1]
+
+
 def plot_cnv(
     obj: InferCNV,
     out_dir: str,
@@ -96,6 +138,9 @@ def plot_cnv(
     output_format: str = "png",
     png_res: int = 150,
     write_expr: bool = False,
+    write_phylo: bool = False,
+    plot_chr_scale: bool = False,
+    chr_lengths=None,
     obs_title: str = "Observations (Cells)",
     ref_title: str = "References (Cells)",
 ) -> Optional[str]:
@@ -117,6 +162,12 @@ def plot_cnv(
     else:
         lo, hi = float(x_range[0]), float(x_range[1])
     data = np.clip(expr, lo, hi)
+
+    # display-space transform (bp-proportional x axis if requested)
+    if plot_chr_scale:
+        disp, disp_bounds = _bp_scale_matrix(data, obj.gene_order, chr_lengths)
+    else:
+        disp, disp_bounds = data, None
 
     # ordering
     obs_order: List[np.ndarray] = []
@@ -170,21 +221,34 @@ def plot_cnv(
     ax_ref = axes[2] if have_ref else None
 
     # chromosome bar
-    chr_ids = obj.gene_order.chr_ids
-    bar = np.array([int(c) % len(CHR_BAR_COLORS) for c in chr_ids])[None, :]
     from matplotlib.colors import ListedColormap
 
+    if plot_chr_scale:
+        spans = disp_bounds + [disp.shape[1]]
+        bar = np.concatenate([
+            np.full(spans[ci + 1] - spans[ci], ci % len(CHR_BAR_COLORS))
+            for ci in range(len(disp_bounds))
+        ])[None, :]
+        label_pos = [(spans[ci] + spans[ci + 1]) / 2 for ci in range(len(disp_bounds))]
+        boundaries = list(disp_bounds)
+        chr_labels = list(obj.gene_order.chr_names)[: len(disp_bounds)]
+    else:
+        chr_ids = obj.gene_order.chr_ids
+        bar = np.array([int(c) % len(CHR_BAR_COLORS) for c in chr_ids])[None, :]
+        boundaries = []
+        label_pos = []
+        chr_labels = []
+        for ci, (b, e) in enumerate(obj.gene_order.chr_ranges()):
+            if e > b:
+                boundaries.append(b)
+                label_pos.append((b + e) / 2)
+                chr_labels.append(obj.gene_order.chr_names[ci])
     ax_chr.imshow(bar, aspect="auto", cmap=ListedColormap(CHR_BAR_COLORS),
                   vmin=0, vmax=len(CHR_BAR_COLORS) - 1, interpolation="nearest")
     ax_chr.set_yticks([])
     ax_chr.set_xticks([])
-    # chromosome labels
-    boundaries = []
-    for ci, (b, e) in enumerate(obj.gene_order.chr_ranges()):
-        if e > b:
-            ax_chr.text((b + e) / 2, -0.8, obj.gene_order.chr_names[ci],
-                        ha="center", va="bottom", fontsize=6, rotation=0)
-            boundaries.append(b)
+    for pos, lab in zip(label_pos, chr_labels):
+        ax_chr.text(pos, -0.8, lab, ha="center", va="bottom", fontsize=6)
     ax_chr.set_title(title, fontsize=11)
 
     cmap = custom_color_pal or color_palette()
@@ -194,7 +258,7 @@ def plot_cnv(
         if rows.size == 0:
             ax.axis("off")
             return
-        ax.imshow(data[rows][::-1], aspect="auto", cmap=cmap, norm=norm,
+        ax.imshow(disp[rows][::-1], aspect="auto", cmap=cmap, norm=norm,
                   interpolation="nearest")
         for b in boundaries[1:]:
             ax.axvline(b - 0.5, color="black", lw=0.4)
@@ -207,9 +271,10 @@ def plot_cnv(
         ax.set_xticks([])
         ax.set_ylabel(label, fontsize=8)
         # group labels on the right
+        W = disp.shape[1]
         acc = 0
         for (g, size) in group_sizes:
-            ax.text(G + G * 0.005, n - (acc + size / 2), str(g)[:30],
+            ax.text(W + W * 0.005, n - (acc + size / 2), str(g)[:30],
                     fontsize=5, va="center", ha="left", clip_on=False)
             acc += size
 
@@ -227,6 +292,22 @@ def plot_cnv(
     fig.savefig(out_path, dpi=png_res, bbox_inches="tight")
     plt.close(fig)
     log_info(f"-wrote heatmap: {out_path}")
+
+    if write_phylo:
+        from scipy.cluster import hierarchy
+
+        from infercnv_tpu.report.newick import merged_group_newick
+        from infercnv_tpu.subcluster.distance import condensed_dists
+
+        linkages, labels = {}, {}
+        for g, idx in obj.obs_groups.items():
+            idx = np.asarray(idx)
+            labels[g] = [obj.cell_names[i] for i in idx]
+            linkages[g] = (hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
+                           if idx.size > 2 else None)
+        nwk = merged_group_newick(linkages, labels)
+        with open(os.path.join(out_dir, f"{output_filename}.observations_dendrogram.txt"), "w") as f:
+            f.write(nwk + "\n")
 
     # text outputs (reference :803-846)
     with open(os.path.join(out_dir, f"{output_filename}.observation_groupings.txt"), "w") as f:
