@@ -29,3 +29,39 @@ def run(*args, **kwargs):
     from infercnv_tpu.runner.pipeline import run as _run
 
     return _run(*args, **kwargs)
+
+
+def apply_median_filtering(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.ops.median_filter.apply_median_filtering`."""
+    from infercnv_tpu.ops.median_filter import apply_median_filtering as _f
+
+    return _f(*args, **kwargs)
+
+
+def plot_cnv(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.viz.heatmap.plot_cnv`."""
+    from infercnv_tpu.viz.heatmap import plot_cnv as _f
+
+    return _f(*args, **kwargs)
+
+
+def plot_per_group(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.viz.per_group.plot_per_group`."""
+    from infercnv_tpu.viz.per_group import plot_per_group as _f
+
+    return _f(*args, **kwargs)
+
+
+def sample_object(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.viz.per_group.sample_object`."""
+    from infercnv_tpu.viz.per_group import sample_object as _f
+
+    return _f(*args, **kwargs)
+
+
+def add_to_metadata(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.report.seurat_export.add_to_metadata`
+    (the add_to_seurat analogue)."""
+    from infercnv_tpu.report.seurat_export import add_to_metadata as _f
+
+    return _f(*args, **kwargs)
