@@ -121,6 +121,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_file", default=None)
     p.add_argument("--seed", type=int, default=12345)
 
+    # plot cosmetics (reference CLI)
+    p.add_argument("--title", default="inferCNV")
+    p.add_argument("--title_obs", default="Observations (Cells)")
+    p.add_argument("--title_ref", default="References (Cells)")
+    p.add_argument("--contig_lab_size", type=int, default=6)
+    p.add_argument("--color_safe", action="store_true")
+    p.add_argument("--dynamic_resize", type=float, default=0)
+
+    # NGCHM interactive heatmaps are an R/Java ecosystem feature; accepted
+    # for flag parity but not implemented here
+    p.add_argument("--ngchm", action="store_true")
+    p.add_argument("--path_to_shaidyMapGen", default=None)
+    p.add_argument("--gene_symbol", default=None)
+
     # post-run extras (reference CLI tail: median filter + seurat metadata)
     p.add_argument("--median_filter", action="store_true")
     p.add_argument("--top_n", type=int, default=10,
@@ -230,6 +244,12 @@ def main(argv=None) -> int:
         up_to_step=args.up_to_step,
         seed=args.seed,
     )
+
+    if args.ngchm:
+        from infercnv_tpu.utils.logging import log_warn
+
+        log_warn("--ngchm requested: NGCHM output (Java shaidyMapGen) is not "
+                 "supported in infercnv_tpu; standard heatmaps were written")
 
     final_obj = res.infercnv_obj
     if args.median_filter and final_obj is not None:

@@ -39,11 +39,15 @@ def get_x_range_auto(expr_cg: np.ndarray, x_center: float) -> Tuple[float, float
     return float(low), float(high)
 
 
-def color_palette():
+def color_palette(color_safe: bool = False):
     """Blue-white-red ramp (reference color.palette inferCNV_ops.R:1808-1835:
-    'darkblue', 'white', 'darkred' with steps)."""
+    'darkblue', 'white', 'darkred'); color_safe uses the colorblind-safe
+    purple-white-green ramp (reference plot_cnv color_safe_pal)."""
     from matplotlib.colors import LinearSegmentedColormap
 
+    if color_safe:
+        return LinearSegmentedColormap.from_list(
+            "infercnv_safe", ["#40004B", "#FFFFFF", "#00441B"], N=255)
     return LinearSegmentedColormap.from_list(
         "infercnv", ["#00008B", "#FFFFFF", "#8B0000"], N=255)
 
@@ -141,6 +145,8 @@ def plot_cnv(
     write_phylo: bool = False,
     plot_chr_scale: bool = False,
     chr_lengths=None,
+    color_safe_pal: bool = False,
+    contig_lab_size: int = 6,
     obs_title: str = "Observations (Cells)",
     ref_title: str = "References (Cells)",
 ) -> Optional[str]:
@@ -248,10 +254,11 @@ def plot_cnv(
     ax_chr.set_yticks([])
     ax_chr.set_xticks([])
     for pos, lab in zip(label_pos, chr_labels):
-        ax_chr.text(pos, -0.8, lab, ha="center", va="bottom", fontsize=6)
+        ax_chr.text(pos, -0.8, lab, ha="center", va="bottom",
+                    fontsize=contig_lab_size)
     ax_chr.set_title(title, fontsize=11)
 
-    cmap = custom_color_pal or color_palette()
+    cmap = custom_color_pal or color_palette(color_safe_pal)
     norm = Normalize(vmin=lo, vmax=hi)
 
     def pane(ax, rows, group_sizes, label):
