@@ -70,8 +70,9 @@ class CnvEngine:
         self.mesh = mesh
         if use_pallas is None:
             # the fused Pallas Viterbi (2.8x the XLA scan) runs on real TPU;
-            # the mesh path keeps the XLA scan (auto-partitioned by pjit)
-            use_pallas = jax.default_backend() not in ("cpu",) and mesh is None
+            # under a mesh the step runs per-shard via shard_map, so the
+            # kernel applies there too
+            use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
         op = smoothing_operator(gene_order, config.window_length,
                                 "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
@@ -102,16 +103,23 @@ class CnvEngine:
 
         self._ref_stats = jax.jit(self._ref_stats_impl)
         if mesh is not None:
-            self._transform = jax.jit(
-                self._transform_impl,
-                in_shardings=(cell_sharding, rep, rep, rep),
-                out_shardings=cell_sharding,
-            )
-            self._full = jax.jit(
-                self._full_impl,
-                in_shardings=(cell_sharding, rep, rep, rep),
-                out_shardings=(cell_sharding, cell_sharding),
-            )
+            # the chunk step has no cross-cell communication (ref stats are
+            # precomputed and replicated), so it runs as one shard_map over
+            # the cell axis — each shard executes the same fused program
+            # (including the Pallas Viterbi on TPU)
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            specs_in = (P("cells", None), P(), P(None, None), P(None, None))
+            self._transform = jax.jit(_shard_map(
+                self._transform_impl, mesh=mesh,
+                in_specs=specs_in, out_specs=P("cells", None)))
+            self._full = jax.jit(_shard_map(
+                self._full_impl, mesh=mesh,
+                in_specs=specs_in,
+                out_specs=(P("cells", None), P("cells", None))))
         else:
             self._transform = jax.jit(self._transform_impl)
             self._full = jax.jit(self._full_impl)
