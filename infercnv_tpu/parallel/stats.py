@@ -1,0 +1,116 @@
+"""Distributed statistics over the cell-sharded mesh.
+
+The reference computes every global statistic in shared memory (single R
+process).  Cell-sharded equivalents (SURVEY §5/§7: "psum-stats, distributed
+quantile/histogram"):
+
+* group-wise per-gene means/sds — shard-local one-hot contractions reduced
+  with psum over the cell axis,
+* exact global medians/quantiles — the bit-space radix select of
+  ops/median.py generalized to sharded vectors: 32 rounds of shard-local
+  counts + psum, no gather of the data.
+
+All functions run under shard_map over a ``Mesh(("cells",))`` and are
+bitwise-identical to their single-device counterparts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from infercnv_tpu.ops.median import _from_key, _to_key
+
+
+def _group_stats_local(x, onehot):
+    """Shard-local pieces reduced over the mesh: returns per-gene group
+    (mean, sd) with ddof=1, matching R colwise stats."""
+    counts = jax.lax.psum(jnp.sum(onehot, axis=1), "cells")          # [K]
+    sums = jax.lax.psum(onehot @ x, "cells")                         # [K, G]
+    sqs = jax.lax.psum(onehot @ (x * x), "cells")                    # [K, G]
+    mean = sums / counts[:, None]
+    var = (sqs - counts[:, None] * mean * mean) / jnp.maximum(counts[:, None] - 1, 1)
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+def sharded_group_gene_stats(x, onehot, mesh: Mesh):
+    """x: [C, G] sharded on cells; onehot: [K, C] sharded on its cell axis.
+    Returns replicated (means [K, G], sds [K, G])."""
+    f = jax.jit(_shard_map(
+        _group_stats_local, mesh=mesh,
+        in_specs=(P("cells", None), P(None, "cells")),
+        out_specs=(P(None, None), P(None, None)),
+    ))
+    return f(x, onehot)
+
+
+def _kth_key_local(keys, k):
+    """Radix-select the k-th (0-based) smallest uint32 key of a sharded
+    vector via psum'd counts."""
+    res = jnp.zeros((), jnp.uint32)
+    for bit in range(31, -1, -1):
+        cand = res | jnp.uint32(1 << bit)
+        cnt = jax.lax.psum(jnp.sum((keys < cand).astype(jnp.int32)), "cells")
+        res = jnp.where(cnt <= k, cand, res)
+    return res
+
+
+def _median_local(values):
+    n = jax.lax.psum(jnp.asarray(values.shape[0], jnp.int32), "cells")
+    keys = _to_key(jnp.asarray(values, jnp.float32))
+    k2 = n // 2
+    v2 = _kth_key_local(keys, k2)
+    odd = (n % 2) == 1
+    cnt_lt = jax.lax.psum(jnp.sum((keys < v2).astype(jnp.int32)), "cells")
+    below = jnp.where(keys < v2, keys, jnp.uint32(0))
+    m = jax.lax.pmax(jnp.max(below, initial=jnp.uint32(0)), "cells")
+    v1 = jnp.where(cnt_lt < k2, v2, m)
+    med_even = (_from_key(v1[None])[0] + _from_key(v2[None])[0]) * 0.5
+    return jnp.where(odd, _from_key(v2[None])[0], med_even)
+
+
+def sharded_median(values, mesh: Mesh):
+    """Exact global median of a cells-sharded vector (e.g. per-cell library
+    sizes for the depth-norm factor) without gathering the data."""
+    f = jax.jit(_shard_map(_median_local, mesh=mesh,
+                           in_specs=(P("cells"),), out_specs=P()))
+    return f(values)
+
+
+def _quantile_local(values, q, n_total):
+    """Type-7 (R default) quantile via two radix selects + interpolation."""
+    keys = _to_key(jnp.asarray(values, jnp.float32))
+    h = (n_total - 1) * q
+    lo_idx = jnp.floor(h).astype(jnp.int32)
+    frac = h - jnp.floor(h)
+    v_lo = _kth_key_local(keys, lo_idx)
+    v_hi = _kth_key_local(keys, jnp.minimum(lo_idx + 1, n_total - 1))
+    lo = _from_key(v_lo[None])[0]
+    hi = _from_key(v_hi[None])[0]
+    return lo + frac * (hi - lo)
+
+
+def sharded_quantile(values, q: float, mesh: Mesh):
+    """Exact global quantile (R type-7 interpolation, matching np.quantile)
+    of a cells-sharded vector — used for the heatmap x.range bounds."""
+    n = int(np.prod(values.shape))
+    f = jax.jit(_shard_map(
+        functools.partial(_quantile_local, q=jnp.float32(q), n_total=n),
+        mesh=mesh, in_specs=(P("cells"),), out_specs=P()))
+    return f(values)
+
+
+def put_cell_sharded(x, mesh: Mesh):
+    """Place a [C, ...] array with the cell axis sharded over the mesh."""
+    spec = P("cells", *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))

@@ -67,3 +67,34 @@ def test_states_detect_planted_cnv(problem):
     # planted 0.5x deletion on chr2 of cells 32+
     assert (states[32:, 96:192] < 3).mean() > 0.5
     assert (states[:16] == 3).mean() > 0.9
+
+
+def test_sharded_group_stats_match_numpy(rng):
+    from infercnv_tpu.ops.transforms import group_onehot
+    from infercnv_tpu.parallel.stats import (
+        put_cell_sharded,
+        sharded_group_gene_stats,
+        sharded_median,
+        sharded_quantile,
+    )
+
+    mesh = make_cell_mesh(8)
+    C, G = 64, 40
+    x = rng.normal(1, 0.5, (C, G)).astype(np.float32)
+    groups = [np.arange(0, 10), np.arange(10, 25), np.arange(40, 64)]
+    M = group_onehot(groups, C)
+    means, sds = sharded_group_gene_stats(
+        put_cell_sharded(x, mesh),
+        jax.device_put(jnp.asarray(M), NamedSharding(mesh, P(None, "cells"))),
+        mesh)
+    for k, g in enumerate(groups):
+        np.testing.assert_allclose(np.asarray(means)[k], x[g].mean(0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sds)[k], x[g].std(0, ddof=1), rtol=1e-4, atol=1e-5)
+
+    v = rng.normal(3, 2, C).astype(np.float32)
+    vs = put_cell_sharded(v, mesh)
+    assert float(sharded_median(vs, mesh)) == np.median(v)
+    np.testing.assert_allclose(float(sharded_quantile(vs, 0.01, mesh)),
+                               np.quantile(v, 0.01), rtol=1e-5)
+    np.testing.assert_allclose(float(sharded_quantile(vs, 0.99, mesh)),
+                               np.quantile(v, 0.99), rtol=1e-5)
