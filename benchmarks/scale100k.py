@@ -1,7 +1,7 @@
-import sys, time
+import os, sys, time
 import numpy as np, jax, jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from infercnv_tpu.core.genome import GeneOrder
 from infercnv_tpu.models.hmm import HMMParams
 from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
