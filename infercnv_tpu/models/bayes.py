@@ -283,3 +283,31 @@ def bayesian_filter_states(
                 f.write(f"State:{s+1}\t" + "\t".join(f"{v:.6g}" for v in kept_probs[s]) + "\n")
         log_info(f"-wrote {path}")
     return states, result
+
+
+# ---------------------------------------------------------------------------
+# API-parity aliases (reference exported names: inferCNVBayesNet
+# R/inferCNV_BayesNet.R:1237, filterHighPNormals :1394)
+# ---------------------------------------------------------------------------
+
+def inferCNVBayesNet(infercnv_obj: InferCNV, HMM_states: np.ndarray,
+                     HMM_type: str = "i6", report_by: str = "subcluster",
+                     seed: int = 12345):
+    """Run the Bayesian mixture model; returns a BayesResult (the MCMC_inferCNV
+    analogue) plus the modeled region descriptors."""
+    return run_bayesian_mixture(infercnv_obj, HMM_states, HMM_type,
+                                infercnv_obj.hspike, report_by=report_by,
+                                seed=seed)
+
+
+def filterHighPNormals(infercnv_obj: InferCNV, HMM_states: np.ndarray,
+                       BayesMaxPNormal: float = 0.5, HMM_type: str = "i6",
+                       reassignCNVs: bool = True,
+                       postMcmcMethod: str = "removeCNV",
+                       out_dir=None, report_by: str = "subcluster",
+                       seed: int = 12345):
+    """Posterior filtering of HMM CNV calls; returns (states, BayesResult)."""
+    return bayesian_filter_states(
+        infercnv_obj, HMM_states, HMM_type, BayesMaxPNormal,
+        infercnv_obj.hspike, reassign=reassignCNVs, out_dir=out_dir,
+        report_by=report_by, seed=seed, post_mcmc_method=postMcmcMethod)

@@ -168,6 +168,20 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         if cfg.save_rds and skip_past < step:
             path = os.path.join(cfg.out_dir, ckpt.step_filename(step, resume_token))
             ckpt.save_step(obj, path, cum_args[step - 1], states)
+        if cfg.plot_steps and not cfg.no_plot and skip_past < step and 2 <= step <= 16:
+            # incremental step plots (reference plot_steps at each stage)
+            from infercnv_tpu.viz.heatmap import plot_cnv as _plot_cnv
+
+            try:
+                _plot_cnv(obj, out_dir=cfg.out_dir,
+                          output_filename=f"infercnv.{step:02d}_{ckpt.STEP_TOKENS[step]}",
+                          title=f"{step:02d}_{ckpt.STEP_TOKENS[step]}",
+                          k_obs_groups=cfg.k_obs_groups,
+                          cluster_by_groups=cfg.cluster_by_groups,
+                          cluster_references=cfg.cluster_references,
+                          output_format=cfg.output_format)
+            except Exception as e:
+                log_warn(f"step plot failed: {e}")
 
     def done(step: int) -> bool:
         return cfg.up_to_step == step

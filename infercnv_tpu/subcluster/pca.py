@@ -38,8 +38,40 @@ def _scale_and_project(x, key, n_components: int, scale_max: float):
     return emb
 
 
+def variable_features_vst(x_cg: np.ndarray, n_features: int = 2000) -> np.ndarray:
+    """Seurat FindVariableFeatures(selection.method='vst') analogue
+    (the reference calls it before RunPCA,
+    R/inferCNV_tumor_subclusters.R:702-709): fit a smooth trend of
+    log10(variance) ~ log10(mean), standardize values with the expected sd
+    clipped at sqrt(N), rank genes by standardized variance.
+
+    Returns indices of the top `n_features` genes."""
+    from infercnv_tpu.utils.splines import fit_smoothing_spline
+
+    x = np.asarray(x_cg, np.float64)
+    C, G = x.shape
+    if G <= n_features:
+        return np.arange(G)
+    mu = x.mean(axis=0)
+    var = x.var(axis=0, ddof=1)
+    ok = var > 0
+    if ok.sum() < 10:
+        return np.arange(G)
+    spline = fit_smoothing_spline(np.log10(mu[ok] + 1e-12), np.log10(var[ok]))
+    exp_sd = np.sqrt(10.0 ** spline.predict(np.log10(np.maximum(mu, 1e-12))))
+    exp_sd = np.maximum(exp_sd, 1e-12)
+    clip = np.sqrt(C)
+    z = np.minimum((x - mu[None, :]) / exp_sd[None, :], clip)
+    std_var = z.var(axis=0, ddof=1)
+    std_var[~ok] = 0.0
+    return np.sort(np.argsort(-std_var, kind="stable")[:n_features])
+
+
 def pca_embed(x_cg: np.ndarray, n_components: int = 10, scale_max: float = 10.0,
-              seed: int = 0) -> np.ndarray:
+              seed: int = 0, use_variable_features: bool = True,
+              n_features: int = 2000) -> np.ndarray:
+    if use_variable_features and x_cg.shape[1] > n_features:
+        x_cg = x_cg[:, variable_features_vst(x_cg, n_features)]
     n_components = min(n_components, min(x_cg.shape) - 1)
     if n_components < 1:
         return np.zeros((x_cg.shape[0], 1), np.float32)

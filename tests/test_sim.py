@@ -1,0 +1,74 @@
+"""Simulation-layer tests: meanvar / simple / splatter count simulators."""
+
+import jax
+import numpy as np
+import pytest
+
+from infercnv_tpu.sim.meanvar import (
+    fit_dropout_spline,
+    fit_mean_var_spline,
+    get_mean_var_table,
+    get_mean_vs_p0_table,
+    simulate_meanvar_counts,
+    simulate_simple_counts,
+)
+from infercnv_tpu.sim.splatter import estimate_splatter_params, simulate_splatter_counts
+
+
+@pytest.fixture(scope="module")
+def ref_matrix():
+    rng = np.random.default_rng(5)
+    G, C = 400, 80
+    means = rng.gamma(2.0, 40.0, G)
+    counts = rng.poisson(means[None, :] * rng.lognormal(0, 0.2, (C, 1)))
+    return counts.astype(np.float32), means
+
+
+def test_meanvar_sim_preserves_means(ref_matrix):
+    counts, means = ref_matrix
+    m, v = get_mean_var_table(counts, [np.arange(counts.shape[0])])
+    spline = fit_mean_var_spline(m, v)
+    gene_means = counts.mean(axis=0)
+    sim = np.asarray(simulate_meanvar_counts(jax.random.PRNGKey(0), gene_means,
+                                             spline, 200))
+    assert sim.shape == (200, counts.shape[1])
+    assert (sim >= 0).all()
+    # simulated means track requested means
+    corr = np.corrcoef(sim.mean(axis=0), gene_means)[0, 1]
+    assert corr > 0.98
+
+
+def test_meanvar_sim_dropout_increases_zeros(ref_matrix):
+    counts, _ = ref_matrix
+    m, v = get_mean_var_table(counts, [np.arange(counts.shape[0])])
+    spline = fit_mean_var_spline(m, v)
+    m0, p0 = get_mean_vs_p0_table(counts, [np.arange(counts.shape[0])])
+    dropout = fit_dropout_spline(m0, p0)
+    gene_means = counts.mean(axis=0)
+    sim_no = np.asarray(simulate_meanvar_counts(jax.random.PRNGKey(1), gene_means, spline, 100))
+    sim_do = np.asarray(simulate_meanvar_counts(jax.random.PRNGKey(1), gene_means, spline, 100, dropout))
+    assert (sim_do == 0).mean() >= (sim_no == 0).mean()
+
+
+def test_simple_sim_nb_variance():
+    gene_means = np.full(256, 50.0)
+    sim = np.asarray(simulate_simple_counts(jax.random.PRNGKey(2), gene_means, 400,
+                                            common_dispersion=0.1))
+    # NB variance = mu + mu^2 * disp = 50 + 250 = 300
+    v = sim.var(axis=0).mean()
+    assert 200 < v < 420
+    assert abs(sim.mean() - 50) < 3
+
+
+def test_splatter_estimate_and_simulate(ref_matrix):
+    counts, _ = ref_matrix
+    params = estimate_splatter_params(counts.T, include_dropout=True)
+    assert params.mean_shape > 0 and params.mean_rate > 0
+    assert params.nGenes == counts.shape[1]
+    sim = np.asarray(simulate_splatter_counts(jax.random.PRNGKey(3), params,
+                                              num_cells=120))
+    assert sim.shape == (120, counts.shape[1])
+    assert (sim >= 0).all()
+    # library sizes should be in a plausible range of the estimated scale
+    libs = sim.sum(axis=1)
+    assert libs.min() > 0
