@@ -59,31 +59,45 @@ CHR_BAR_COLORS = [
 
 
 def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
-                      cluster: bool) -> np.ndarray:
-    """Row ordering within one group: stored subcluster structure first
-    (largest subcluster leading, as the reference's stitched dendrograms),
-    each ordered by ward-linkage leaf order; else fresh hclust."""
+                      cluster: bool):
+    """Row ordering within one group plus the dendrogram that produced it:
+    stored subcluster structure first (largest subcluster leading, as the
+    reference's stitched dendrograms, subclusters joined at raised roots),
+    each ordered by ward-linkage leaf order; else fresh hclust.
+
+    Returns (order_indices, merged_linkage_or_None)."""
     if idx.size <= 2 or not cluster:
-        return idx
+        return idx, None
     from scipy.cluster import hierarchy
 
     from infercnv_tpu.subcluster.distance import condensed_dists
+    from infercnv_tpu.viz.dendro import merge_linkages
 
     subs = None
     if obj.tumor_subclusters and group in obj.tumor_subclusters["subclusters"]:
         subs = obj.tumor_subclusters["subclusters"][group]
     if subs and len(subs) > 1:
-        ordered = []
+        block_idx = []
+        block_Z = []
         for _name, sidx in sorted(subs.items(), key=lambda kv: -len(kv[1])):
             sidx = np.asarray(sidx)
             if sidx.size > 2:
                 Z = hierarchy.linkage(condensed_dists(obj.expr[sidx]), method="ward")
-                ordered.append(sidx[hierarchy.leaves_list(Z)])
+                block_idx.append(sidx[hierarchy.leaves_list(Z)])
+                block_Z.append(Z)
             else:
-                ordered.append(sidx)
-        return np.concatenate(ordered)
+                block_idx.append(sidx)
+                block_Z.append(None)
+        concat = np.concatenate(block_idx)
+        Zm = merge_linkages(block_Z, [b.size for b in block_idx])
+        if Zm is not None:
+            # order the pane by the merged tree's own leaf traversal so the
+            # drawn dendrogram lines up with the rows
+            leaves = hierarchy.leaves_list(Zm)
+            return concat[leaves], Zm
+        return concat, None
     Z = hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
-    return idx[hierarchy.leaves_list(Z)]
+    return idx[hierarchy.leaves_list(Z)], Z
 
 
 def _bp_scale_matrix(data: np.ndarray, gene_order, chr_lengths=None,
@@ -178,14 +192,17 @@ def plot_cnv(
     # ordering
     obs_order: List[np.ndarray] = []
     obs_group_sizes: List[Tuple[str, int]] = []
+    obs_linkages: List = []
     if cluster_by_groups:
         for g, idx in obj.obs_groups.items():
-            o = _group_cell_order(obj, g, np.asarray(idx), True)
+            o, Z = _group_cell_order(obj, g, np.asarray(idx), True)
             obs_order.append(o)
             obs_group_sizes.append((g, o.size))
+            obs_linkages.append(Z)
     else:
         idx = obj.all_obs_idx()
-        o = _group_cell_order(obj, "all_observations", idx, True)
+        o, Zo = _group_cell_order(obj, "all_observations", idx, True)
+        obs_linkages.append(Zo)
         if k_obs_groups > 1 and idx.size > k_obs_groups:
             from scipy.cluster import hierarchy
 
@@ -203,10 +220,12 @@ def plot_cnv(
 
     ref_order: List[np.ndarray] = []
     ref_group_sizes: List[Tuple[str, int]] = []
+    ref_linkages: List = []
     for g, idx in obj.ref_groups.items():
-        o = _group_cell_order(obj, g, np.asarray(idx), cluster_references)
+        o, Zr = _group_cell_order(obj, g, np.asarray(idx), cluster_references)
         ref_order.append(o)
         ref_group_sizes.append((g, o.size))
+        ref_linkages.append(Zr)
     ref_idx = np.concatenate(ref_order) if ref_order else np.zeros(0, np.int64)
 
     # figure
@@ -215,16 +234,20 @@ def plot_cnv(
     have_ref = n_ref > 0
     fig_h = 8.0
     ref_frac = min(0.35, max(0.12, n_ref / max(n_obs + n_ref, 1))) if have_ref else 0.0
-    fig, axes = plt.subplots(
-        3 if have_ref else 2, 1,
-        figsize=(11, fig_h),
-        gridspec_kw={"height_ratios": ([0.035, 1 - ref_frac, ref_frac] if have_ref
-                                       else [0.035, 1.0]),
-                     "hspace": 0.06},
-    )
-    ax_chr = axes[0]
-    ax_obs = axes[1]
-    ax_ref = axes[2] if have_ref else None
+    nrows = 3 if have_ref else 2
+    fig = plt.figure(figsize=(11.6, fig_h))
+    gs = fig.add_gridspec(
+        nrows, 2,
+        height_ratios=([0.035, 1 - ref_frac, ref_frac] if have_ref else [0.035, 1.0]),
+        width_ratios=[0.05, 0.95], hspace=0.06, wspace=0.01,
+        left=0.07, right=0.93)
+    ax_chr = fig.add_subplot(gs[0, 1])
+    ax_obs = fig.add_subplot(gs[1, 1])
+    ax_obs_dend = fig.add_subplot(gs[1, 0])
+    ax_ref = fig.add_subplot(gs[2, 1]) if have_ref else None
+    ax_ref_dend = fig.add_subplot(gs[2, 0]) if have_ref else None
+    fig.add_subplot(gs[0, 0]).axis("off")
+    axes = [ax_chr, ax_obs] + ([ax_ref] if have_ref else [])
 
     # chromosome bar
     from matplotlib.colors import ListedColormap
@@ -277,6 +300,7 @@ def plot_cnv(
         ax.set_yticks([])
         ax.set_xticks([])
         ax.set_ylabel(label, fontsize=8)
+        ax.yaxis.set_label_coords(-0.075, 0.5)
         # group labels on the right
         W = disp.shape[1]
         acc = 0
@@ -289,9 +313,28 @@ def plot_cnv(
     if have_ref:
         pane(ax_ref, ref_idx, ref_group_sizes, ref_title)
 
+    # dendrogram side panels (reference draws the row trees beside each pane)
+    from infercnv_tpu.viz.dendro import draw_linkage
+
+    def dendro_panel(ax, linkages, group_sizes, n_rows):
+        ax.axis("off")
+        if n_rows == 0:
+            return
+        acc = 0
+        for Z, (_g, size) in zip(linkages, group_sizes):
+            if Z is not None and size > 2:
+                draw_linkage(ax, Z, n_rows, acc, size)
+            acc += size
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, n_rows)
+
+    dendro_panel(ax_obs_dend, obs_linkages, obs_group_sizes, n_obs)
+    if have_ref:
+        dendro_panel(ax_ref_dend, ref_linkages, ref_group_sizes, n_ref)
+
     sm = plt.cm.ScalarMappable(norm=norm, cmap=cmap)
-    cbar = fig.colorbar(sm, ax=axes.tolist(), fraction=0.025, pad=0.09,
-                        location="left")
+    cax = fig.add_axes([0.015, 0.35, 0.012, 0.3])
+    cbar = fig.colorbar(sm, cax=cax)
     cbar.ax.tick_params(labelsize=6)
 
     ext = output_format if output_format in ("png", "pdf", "svg") else "png"
