@@ -121,7 +121,7 @@ class RunConfig:
             # reference forbids this combination (inferCNV_ops.R:353-356)
             raise ValueError("i6 HMM mode is incompatible with smooth_method='coordinates'")
         if self.tumor_subcluster_partition_method not in (
-            "leiden", "random_trees", "qnorm", "pheight", "qgamma", "none",
+            "leiden", "random_trees", "qnorm", "pheight", "qgamma", "shc", "none",
         ):
             raise ValueError(
                 f"unknown tumor_subcluster_partition_method {self.tumor_subcluster_partition_method!r}"

@@ -132,6 +132,14 @@ def _single_tumor_hclust_subclustering(
         cut_height = stats.gamma.ppf(1 - p_val, a, loc=loc, scale=scale)
     elif partition_method == "none":
         cut_height = np.inf
+    elif partition_method == "shc":
+        # accepted by the reference's match.arg but its implementation is
+        # commented out (inferCNV_tumor_subclusters.R:225-227, 271-300) and
+        # selecting it errors at runtime; surface that clearly here.
+        raise NotImplementedError(
+            "partition_method='shc' is disabled in the reference (sigclust2 "
+            "branch commented out); use qnorm/pheight/qgamma/leiden/random_trees"
+        )
     else:
         raise ValueError(f"unrecognized partition_method {partition_method!r}")
     grps = _cut_groups_ordered(Z, cut_height) if np.isfinite(cut_height) else np.ones(n, int)
