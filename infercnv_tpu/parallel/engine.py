@@ -71,8 +71,14 @@ class CnvEngine:
         if use_pallas is None:
             # the fused Pallas Viterbi (2.8x the XLA scan) runs on real TPU;
             # under a mesh the step runs per-shard via shard_map, so the
-            # kernel applies there too
-            use_pallas = jax.default_backend() not in ("cpu",)
+            # kernel applies there too.  Decide by the platform the program
+            # will actually execute on: the mesh's devices if sharded (a CPU
+            # dryrun mesh can coexist with a registered TPU plugin).
+            if mesh is not None:
+                platform = mesh.devices.flat[0].platform
+            else:
+                platform = jax.default_backend()
+            use_pallas = platform not in ("cpu",)
         self.use_pallas = use_pallas
         op = smoothing_operator(gene_order, config.window_length,
                                 "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
@@ -112,14 +118,21 @@ class CnvEngine:
             except ImportError:  # older jax
                 from jax.experimental.shard_map import shard_map as _shard_map
 
+            def _smap(fn, out_specs):
+                # the step is per-shard pure (no collectives), so the vma
+                # check adds nothing; disabling it also lets pallas_call
+                # run inside the shard without vma-annotated out_shapes
+                kw = dict(mesh=mesh, in_specs=specs_in, out_specs=out_specs)
+                try:
+                    return _shard_map(fn, check_vma=False, **kw)
+                except TypeError:  # pre-0.7 API
+                    return _shard_map(fn, check_rep=False, **kw)
+
             specs_in = (P("cells", None), P(), P(None, None), P(None, None))
-            self._transform = jax.jit(_shard_map(
-                self._transform_impl, mesh=mesh,
-                in_specs=specs_in, out_specs=P("cells", None)))
-            self._full = jax.jit(_shard_map(
-                self._full_impl, mesh=mesh,
-                in_specs=specs_in,
-                out_specs=(P("cells", None), P("cells", None))))
+            self._transform = jax.jit(_smap(self._transform_impl,
+                                            P("cells", None)))
+            self._full = jax.jit(_smap(self._full_impl,
+                                       (P("cells", None), P("cells", None))))
         else:
             self._transform = jax.jit(self._transform_impl)
             self._full = jax.jit(self._full_impl)
