@@ -20,6 +20,7 @@ R's which.max does.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,13 +60,19 @@ def _log_sf_std_normal(z):
     return -jnp.where(z < 6.0, poly, asym)
 
 
-def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, out_ref, bp_ref,
-                    nu_ref, *, S, L, log_diag, log_off):
+def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
+                    bp_ref, nu_ref, *, S, L, log_diag, log_off):
     """x_ref: [L, 128] f32; len_ref: [1, 128] i32 (valid length per seq);
     sigma_ref: [1, 128] f32; params_ref: [16, 128] f32 packing the state
     means (rows 0..S-1, lane-replicated) and log_delta (rows 8..8+S-1);
+    bnd_ref: [L, 128] f32 segment-start flags (several independent
+    chromosomes may be concatenated in one sequence; a 1 at position i
+    restarts the chain there — see viterbi_pallas docstring);
     out_ref: [L, 128] i32 states (1-based);
-    scratch: bp_ref [L, S, 128] i8, nu_ref [S, 128] f32."""
+    scratch: bp_ref [L, S, 128] i8 backpointers — at restart positions the
+    backpointers are meaningless, so row 0 there instead stores the argmax
+    of nu *before* the restart (the previous segment's final state), read
+    back when the backtrace crosses the restart; nu_ref [S, 128] f32."""
     W = x_ref.shape[1]
     sigma = sigma_ref[0, :]
     lens = len_ref[0, :]
@@ -97,8 +104,16 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, out_ref, bp_ref,
                       jnp.broadcast_to(a_all, (S, W)),
                       jnp.minimum(sidx, jnp.broadcast_to(a_all, (S, W)))),
         ).astype(jnp.int8)
+        bnd = jnp.zeros((1, W), jnp.bool_)                     # [1, 128]
         valid = (i < lens)[None, :]                            # [1, 128]
-        nu_ref[:, :] = jnp.where(valid, best + em, nu)
+        # segment restart: fresh chain (delta + em); backpointers unused
+        # there, so row 0 stores the previous segment's final state
+        # (argmax of nu before the restart) for the backtrace
+        nu_next = jnp.where(bnd, log_delta_arr + em, best + em)
+        nu_ref[:, :] = jnp.where(valid, nu_next, nu)
+        bp_bnd = jnp.where(sidx == 0, jnp.broadcast_to(a_all, (S, W)),
+                           sidx).astype(jnp.int8)
+        bp = jnp.where(bnd, bp_bnd, bp)
         bp_ref[i] = jnp.where(valid, bp, sidx.astype(jnp.int8))
         return 0
 
@@ -114,7 +129,14 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, out_ref, bp_ref,
         i = L - 2 - k
         bp = bp_ref[i + 1].astype(jnp.int32)                    # [S, 128]
         onehot = sidx == y[None, :]
-        y_new = jnp.sum(jnp.where(onehot, bp, 0), axis=0)
+        y_bp = jnp.sum(jnp.where(onehot, bp, 0), axis=0)
+        # crossing a segment start backwards: position i is the END of the
+        # previous segment -> its own argmax, stashed in bp row 0 at i+1
+        # (row extracted via masked sum: rank-1 slices of rank-2 vectors
+        # crash Mosaic layout inference)
+        y_am = jnp.sum(jnp.where(sidx == 0, bp, 0), axis=0)
+        bnd = jnp.zeros((W,), jnp.bool_)
+        y_new = jnp.where(bnd, y_am, y_bp)
         out_ref[i, :] = y_new + 1
         return y_new
 
@@ -123,8 +145,9 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, out_ref, bp_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "L", "interpret", "means", "log_pi_diag", "log_pi_off", "log_delta"))
-def _viterbi_pallas_call(x_lb, lens, sigma, means, log_pi_diag, log_pi_off,
-                         log_delta, S: int, L: int, interpret: bool = False):
+def _viterbi_pallas_call(x_lb, lens, sigma, bnd_lb, means, log_pi_diag,
+                         log_pi_off, log_delta, S: int, L: int,
+                         interpret: bool = False):
     B = x_lb.shape[1]
     tile_b = TILE_B if B % TILE_B == 0 else LANE
     n_tiles = B // tile_b
@@ -146,6 +169,7 @@ def _viterbi_pallas_call(x_lb, lens, sigma, means, log_pi_diag, log_pi_off,
             pl.BlockSpec((1, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, tile_b), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((L, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -153,24 +177,38 @@ def _viterbi_pallas_call(x_lb, lens, sigma, means, log_pi_diag, log_pi_off,
             pltpu.VMEM((S, tile_b), jnp.float32),
         ],
         interpret=interpret,
-    )(x_lb, lens.reshape(1, B), sigma.reshape(1, B), jnp.asarray(params))
+    )(x_lb, lens.reshape(1, B), sigma.reshape(1, B), jnp.asarray(params),
+      bnd_lb.astype(jnp.float32))
 
 
 def viterbi_pallas(x_bl: np.ndarray, lengths: np.ndarray, sigma: np.ndarray,
                    means: np.ndarray, t: float = 1e-6,
+                   boundaries: Optional[np.ndarray] = None,
                    interpret: bool = False) -> jax.Array:
     """Viterbi over B padded sequences.
 
     x_bl: [B, L] observations; lengths: [B] valid lengths; sigma: [B]
     (median-collapsed per sequence); means: [S] state means.
+
+    boundaries: optional [B, L] flags marking positions that START a new
+    independent segment (chain restart with the start distribution) —
+    lets several chromosomes be concatenated into one padded sequence so
+    the sequential scan runs over ~sum(len) instead of n_chr * max(len).
+    Results are identical to running each segment separately.
+
     Returns [B, L] 1-based states.  Set interpret=True off-TPU.
     """
     x_bl = jnp.asarray(x_bl, jnp.float32)
     B, L = x_bl.shape
     S = int(np.asarray(means).shape[0])
+    if boundaries is None:
+        bnd = jnp.zeros((B, L), jnp.int8)
+    else:
+        bnd = jnp.asarray(boundaries, jnp.int8)
     pad = (-B) % TILE_B if B >= TILE_B else (-B) % LANE
     if pad:
         x_bl = jnp.pad(x_bl, ((0, pad), (0, 0)))
+        bnd = jnp.pad(bnd, ((0, pad), (0, 0)))
         lengths = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, pad),
                           constant_values=1)
         sigma = jnp.pad(jnp.asarray(sigma, jnp.float32), (0, pad),
@@ -183,6 +221,7 @@ def viterbi_pallas(x_bl: np.ndarray, lengths: np.ndarray, sigma: np.ndarray,
     delta = np.full(S, t)
     delta[(S - 1) // 2] = 1.0 - (S - 1) * t
     states = _viterbi_pallas_call(
-        x_bl.T, lengths, sigma, tuple(np.asarray(means, np.float64)),
+        x_bl.T, lengths, sigma, bnd.T,
+        tuple(np.asarray(means, np.float64)),
         log_diag, log_off, tuple(np.log(delta)), S, L, interpret)
     return states.T[:B]

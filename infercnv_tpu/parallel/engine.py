@@ -42,19 +42,45 @@ class EngineConfig:
     hmm_t: float = 1e-6
 
 
-def _pack_indices(gene_order: GeneOrder) -> Tuple[np.ndarray, np.ndarray, int]:
-    """(gather_idx [n_chr, Lmax], valid [n_chr, Lmax], Lmax) for chromosome
-    packing of the gene axis."""
+def _pack_indices(gene_order: GeneOrder) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray, int]:
+    """Bin-pack chromosomes into padded sequences for the batched Viterbi.
+
+    Naive per-chromosome padding runs n_chr * Lmax sequential scan steps
+    per cell (~2x the real gene count on a human genome: 22 x len(chr1));
+    instead, first-fit-decreasing packs whole chromosomes into bins of
+    capacity Lmax and the Viterbi restarts its chain at each chromosome
+    start inside a bin (exact same per-chromosome results).
+
+    Returns (gather_idx [n_bins, Lmax], valid [n_bins, Lmax],
+    boundaries [n_bins, Lmax], Lmax).
+    """
     ranges = [r for r in gene_order.chr_ranges() if r[1] > r[0]]
     Lmax = max(e - b for (b, e) in ranges)
-    n_chr = len(ranges)
-    gather = np.zeros((n_chr, Lmax), np.int32)
-    valid = np.zeros((n_chr, Lmax), bool)
-    for ci, (b, e) in enumerate(ranges):
-        n = e - b
-        gather[ci, :n] = np.arange(b, e)
-        valid[ci, :n] = True
-    return gather, valid, Lmax
+    order = sorted(range(len(ranges)),
+                   key=lambda i: ranges[i][1] - ranges[i][0], reverse=True)
+    bins: list = []       # list of (used, [range, ...])
+    for i in order:
+        n = ranges[i][1] - ranges[i][0]
+        for bi, (used, members) in enumerate(bins):
+            if used + n <= Lmax:
+                bins[bi] = (used + n, members + [ranges[i]])
+                break
+        else:
+            bins.append((n, [ranges[i]]))
+    n_bins = len(bins)
+    gather = np.zeros((n_bins, Lmax), np.int32)
+    valid = np.zeros((n_bins, Lmax), bool)
+    boundaries = np.zeros((n_bins, Lmax), np.int8)
+    for bi, (_used, members) in enumerate(bins):
+        pos = 0
+        for (b, e) in members:
+            n = e - b
+            gather[bi, pos:pos + n] = np.arange(b, e)
+            valid[bi, pos:pos + n] = True
+            boundaries[bi, pos] = 1
+            pos += n
+    return gather, valid, boundaries, Lmax
 
 
 class CnvEngine:
@@ -84,10 +110,17 @@ class CnvEngine:
                                 "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
         self._blocks = jnp.asarray(op.blocks)
         self._op_meta = (op.n_tiles, op.side_tiles, op.num_genes)
-        gather, valid, Lmax = _pack_indices(gene_order)
+        gather, valid, boundaries, Lmax = _pack_indices(gene_order)
         self._gather = jnp.asarray(gather)
         self._valid = jnp.asarray(valid)
+        self._boundaries = jnp.asarray(boundaries)
         self._Lmax = Lmax
+        # genes on <2-gene chromosomes get the neutral state (reference
+        # Viterbi.dthmm.adj R/inferCNV_HMM.R:1104-1107)
+        short = [np.arange(b, e) for (b, e) in gene_order.chr_ranges()
+                 if 0 < e - b < 2]
+        self._short_genes = (np.concatenate(short).astype(np.int32)
+                             if short else None)
         # inverse map: gene g -> its flat position in the packed layout, so
         # unpacking is a gather (TPU scatters serialize on duplicate indices)
         inv = np.zeros(gene_order.num_genes, np.int32)
@@ -172,30 +205,36 @@ class CnvEngine:
         return x - jnp.mean(grp_means, axis=0)
 
     def _viterbi(self, resid):
-        """Per-cell Viterbi over packed chromosomes.  resid: [C, G].
+        """Per-cell Viterbi over bin-packed chromosomes.  resid: [C, G].
 
-        TPU layout note: the batch axis (cells x chromosomes) lives on the
-        LAST (lane) dimension of every tensor in the scan — with the tiny
-        state axis (S=6) leading, each op keeps all 128 lanes busy instead
-        of wasting 95% of the VPU on an S-minor layout.
+        TPU layout note: the batch axis (cells x bins) lives on the LAST
+        (lane) dimension of every tensor in the scan — with the tiny state
+        axis (S=6) leading, each op keeps all 128 lanes busy instead of
+        wasting 95% of the VPU on an S-minor layout.  Chromosomes are
+        first-fit packed into bins (see _pack_indices) so the sequential
+        scan length is ~sum(chr lengths), not n_chr * max(chr length).
         """
         C = resid.shape[0]
         S = self._means.shape[0]
-        xp = resid[:, self._gather]          # [C, n_chr, Lmax]
-        n_chr = xp.shape[1]
-        B = C * n_chr
+        xp = resid[:, self._gather]          # [C, n_bins, Lmax]
+        n_bins = xp.shape[1]
+        B = C * n_bins
         if self.use_pallas:
             from infercnv_tpu.ops.viterbi_pallas import viterbi_pallas
 
             lengths = jnp.tile(jnp.sum(self._valid, axis=1).astype(jnp.int32), C)
             sigma = jnp.full((B,), self._sigma, jnp.float32)
+            bnd = jnp.tile(self._boundaries, (C, 1))
             states = viterbi_pallas(xp.reshape(B, self._Lmax), lengths, sigma,
-                                    np.asarray(self.hmm.means), self.hmm.t)
-            vals = states.reshape(C, n_chr * self._Lmax)
-            return vals[:, self._inv_pack].astype(jnp.int8)
+                                    np.asarray(self.hmm.means), self.hmm.t,
+                                    boundaries=bnd)
+            vals = states.reshape(C, n_bins * self._Lmax)
+            return self._force_short_neutral(
+                vals[:, self._inv_pack].astype(jnp.int8), S)
         xl = xp.reshape(B, self._Lmax).T     # [L, B]
-        mask = jnp.broadcast_to(self._valid[None], (C, n_chr, self._Lmax))
+        mask = jnp.broadcast_to(self._valid[None], (C, n_bins, self._Lmax))
         mask = mask.reshape(B, self._Lmax).T  # [L, B]
+        bndm = jnp.tile(self._boundaries != 0, (C, 1)).T  # [L, B]
 
         # all emissions in one fused elementwise pass (no transcendentals
         # inside the sequential scan): [L, S, B]
@@ -207,34 +246,53 @@ class CnvEngine:
         nu0 = self._log_delta[:, None] + em_all[0]          # [S, B]
 
         def step(nu_prev, inputs):
-            em, mv = inputs                                  # [S, B], [B]
+            em, mv, bv = inputs                              # [S,B], [B], [B]
             scores = nu_prev[:, None, :] + self._log_pi[:, :, None]  # [j, s, B]
             best = jnp.max(scores, axis=0)                   # [S, B]
             bp = jnp.argmax(scores, axis=0).astype(jnp.int8)
-            nu_new = jnp.where(mv[None, :], best + em, nu_prev)
+            # chromosome start inside a bin: restart the chain
+            nu_new = jnp.where(bv[None, :], self._log_delta[:, None] + em,
+                               best + em)
+            nu_new = jnp.where(mv[None, :], nu_new, nu_prev)
             ident = jnp.broadcast_to(
                 jnp.arange(S, dtype=jnp.int8)[:, None], bp.shape)
-            bp = jnp.where(mv[None, :], bp, ident)
-            return nu_new, bp
+            bp = jnp.where((mv & ~bv)[None, :], bp, ident)
+            # argmax of nu BEFORE this step: closes the previous chromosome
+            # during backtrace when stepping back over a restart
+            am = jnp.argmax(nu_prev, axis=0).astype(jnp.int8)  # [B]
+            return nu_new, (bp, am)
 
-        nu_last, bps = jax.lax.scan(
-            step, nu0, (em_all[1:], mask[1:]), unroll=4)
+        nu_last, (bps, ams) = jax.lax.scan(
+            step, nu0, (em_all[1:], mask[1:], bndm[1:]), unroll=4)
         y_last = jnp.argmax(nu_last, axis=0).astype(jnp.int8)  # [B]
 
         # backtrace via one-hot select: per-lane take_along_axis gathers
         # lower to a ~2ms/step serialized gather on TPU; the S=6 compare+sum
         # is pure VPU work (measured >1000x faster)
         sr = jnp.arange(S, dtype=jnp.int8)[:, None]
+        bcut = (bndm[1:] & mask[1:])  # [L-1, B] restart positions
 
-        def back(y_next, bp):
+        def back(y_next, inputs):
+            bp, am, bc = inputs
             onehot = sr == y_next[None, :]
             y = jnp.sum(jnp.where(onehot, bp, jnp.int8(0)), axis=0).astype(jnp.int8)
+            y = jnp.where(bc, am, y)
             return y, y
 
-        _, ys = jax.lax.scan(back, y_last, bps, reverse=True, unroll=4)
+        _, ys = jax.lax.scan(back, y_last, (bps, ams, bcut),
+                             reverse=True, unroll=4)
         states = jnp.concatenate([ys, y_last[None, :]], axis=0) + 1  # [L, B]
-        vals = states.T.reshape(C, n_chr * self._Lmax)
-        return vals[:, self._inv_pack]  # gather-based unpack to gene axis
+        vals = states.T.reshape(C, n_bins * self._Lmax)
+        return self._force_short_neutral(vals[:, self._inv_pack], S)
+
+    def _force_short_neutral(self, states, S):
+        """Reference semantics: chromosomes with < 2 genes get the neutral
+        state (R/inferCNV_HMM.R:1104-1107)."""
+        if self._short_genes is None:
+            return states
+        neutral = (S - 1) // 2 + 1
+        return states.at[:, self._short_genes].set(
+            jnp.asarray(neutral, states.dtype))
 
     # ------------------------------------------------------------------
     # jitted entry points

@@ -98,3 +98,36 @@ def test_sharded_group_stats_match_numpy(rng):
                                np.quantile(v, 0.01), rtol=1e-5)
     np.testing.assert_allclose(float(sharded_quantile(vs, 0.99, mesh)),
                                np.quantile(v, 0.99), rtol=1e-5)
+
+
+def test_binpacked_viterbi_matches_per_chromosome():
+    """Chromosome bin-packing (unequal lengths -> several chrs share one
+    padded sequence) must not change any state call vs the per-chromosome
+    reference path, including a 1-gene chromosome (forced neutral)."""
+    from infercnv_tpu.models.hmm import viterbi_per_group
+    from infercnv_tpu.parallel.engine import _pack_indices
+
+    rng = np.random.default_rng(11)
+    lens = [100, 40, 30, 20, 1]
+    G = sum(lens)
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=tuple(f"chr{i+1}" for i in range(len(lens))),
+        chr_ids=np.repeat(np.arange(len(lens)), lens).astype(np.int32),
+        start=np.arange(G), stop=np.arange(G),
+    )
+    gather, valid, boundaries, Lmax = _pack_indices(go)
+    assert gather.shape[0] < len(lens)  # packing actually happened
+    hmm = HMMParams(
+        means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+        sds=np.array([0.15, 0.18, 0.12, 0.2, 0.22, 0.3]),
+        t=1e-6,
+    )
+    resid = rng.normal(1.0, 0.2, (16, G)).astype(np.float32)
+    resid[8:, 100:140] += 0.8   # planted CNV on chr2
+    resid[4:8, 140:170] -= 0.5  # planted loss on chr3
+
+    engine = CnvEngine(go, hmm, EngineConfig(), use_pallas=False)
+    got = np.asarray(engine._viterbi(jnp.asarray(resid)))
+    exp = viterbi_per_group(resid, go, hmm)
+    np.testing.assert_array_equal(got, exp)
