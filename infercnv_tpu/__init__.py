@@ -20,8 +20,33 @@ reference that this package is built to.
 
 __version__ = "0.1.0"
 
-from infercnv_tpu.core.object import InferCNV, create_infercnv_object  # noqa: F401
-from infercnv_tpu.core.genome import GeneOrder  # noqa: F401
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at an on-disk compilation cache (tunnel-attached TPU compiles
+    are expensive; repeat runs of the same programs should be free)."""
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.environ.get(
+            "INFERCNV_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                ".jax_cache")
+            _os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
+from infercnv_tpu.core.object import InferCNV, create_infercnv_object  # noqa: F401,E402
+from infercnv_tpu.core.genome import GeneOrder  # noqa: F401,E402
 
 
 def run(*args, **kwargs):

@@ -104,7 +104,9 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
                       jnp.broadcast_to(a_all, (S, W)),
                       jnp.minimum(sidx, jnp.broadcast_to(a_all, (S, W)))),
         ).astype(jnp.int8)
-        bnd = jnp.zeros((1, W), jnp.bool_)                     # [1, 128]
+        # rank-2 dynamic load (rank-1 dynamic slices of the flag plane crash
+        # Mosaic layout inference on real TPU)
+        bnd = bnd_ref[pl.ds(i, 1), :] > 0.0                    # [1, 128]
         valid = (i < lens)[None, :]                            # [1, 128]
         # segment restart: fresh chain (delta + em); backpointers unused
         # there, so row 0 stores the previous segment's final state
@@ -135,7 +137,8 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
         # (row extracted via masked sum: rank-1 slices of rank-2 vectors
         # crash Mosaic layout inference)
         y_am = jnp.sum(jnp.where(sidx == 0, bp, 0), axis=0)
-        bnd = jnp.zeros((W,), jnp.bool_)
+        # rank-2 load + axis-0 reduce: same Mosaic layout workaround as y_am
+        bnd = jnp.sum(bnd_ref[pl.ds(i + 1, 1), :], axis=0) > 0.0  # [128]
         y_new = jnp.where(bnd, y_am, y_bp)
         out_ref[i, :] = y_new + 1
         return y_new

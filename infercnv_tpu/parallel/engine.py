@@ -106,6 +106,10 @@ class CnvEngine:
                 platform = jax.default_backend()
             use_pallas = platform not in ("cpu",)
         self.use_pallas = use_pallas
+        # forcing the Pallas path off-TPU (tests) runs the kernel interpreted
+        self._pallas_interpret = bool(use_pallas) and (
+            (mesh.devices.flat[0].platform if mesh is not None
+             else jax.default_backend()) == "cpu")
         op = smoothing_operator(gene_order, config.window_length,
                                 "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
         self._blocks = jnp.asarray(op.blocks)
@@ -227,7 +231,8 @@ class CnvEngine:
             bnd = jnp.tile(self._boundaries, (C, 1))
             states = viterbi_pallas(xp.reshape(B, self._Lmax), lengths, sigma,
                                     np.asarray(self.hmm.means), self.hmm.t,
-                                    boundaries=bnd)
+                                    boundaries=bnd,
+                                    interpret=self._pallas_interpret)
             vals = states.reshape(C, n_bins * self._Lmax)
             return self._force_short_neutral(
                 vals[:, self._inv_pack].astype(jnp.int8), S)

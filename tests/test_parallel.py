@@ -131,3 +131,34 @@ def test_binpacked_viterbi_matches_per_chromosome():
     got = np.asarray(engine._viterbi(jnp.asarray(resid)))
     exp = viterbi_per_group(resid, go, hmm)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_binpacked_viterbi_pallas_matches_per_chromosome():
+    """Same bin-packing equivalence through the PALLAS kernel (interpreted
+    off-TPU): chromosome-join restarts must hold on the production TPU path,
+    not just the XLA fallback."""
+    from infercnv_tpu.models.hmm import viterbi_per_group
+
+    rng = np.random.default_rng(11)
+    lens = [100, 40, 30, 20, 1]
+    G = sum(lens)
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=tuple(f"chr{i+1}" for i in range(len(lens))),
+        chr_ids=np.repeat(np.arange(len(lens)), lens).astype(np.int32),
+        start=np.arange(G), stop=np.arange(G),
+    )
+    hmm = HMMParams(
+        means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+        sds=np.array([0.15, 0.18, 0.12, 0.2, 0.22, 0.3]),
+        t=1e-6,
+    )
+    resid = rng.normal(1.0, 0.2, (16, G)).astype(np.float32)
+    resid[8:, 95:140] += 0.8   # CNV straddling the chr1/chr2 join in a bin
+    resid[4:8, 140:170] -= 0.5
+
+    engine = CnvEngine(go, hmm, EngineConfig(), use_pallas=True)
+    assert engine._pallas_interpret  # running off-TPU -> interpreted kernel
+    got = np.asarray(engine._viterbi(jnp.asarray(resid)))
+    exp = viterbi_per_group(resid, go, hmm)
+    np.testing.assert_array_equal(got, exp)

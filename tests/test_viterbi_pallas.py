@@ -46,3 +46,30 @@ def test_pallas_viterbi_matches_xla(rng):
             chr_ids=np.zeros(n, np.int32), start=np.arange(n), stop=np.arange(n))
         sti = viterbi_per_group(x[i:i + 1, :n], goi, params)
         np.testing.assert_array_equal(st_p[i, :n], sti[0])
+
+
+def test_pallas_viterbi_segment_restarts(rng):
+    """Chromosomes packed into one padded sequence (boundary flags) must give
+    the exact same states as running each chromosome separately — the engine
+    relies on this for its bin-packed layout (parallel/engine.py
+    _pack_indices)."""
+    B, L = 128, 240
+    segs = [(0, 90), (90, 150), (150, 240)]  # 3 packed "chromosomes"
+    x = rng.normal(1.0, 0.25, (B, L)).astype(np.float32)
+    # plant a CNV that straddles a segment join: without a chain restart the
+    # t=1e-6 transition cost drags states across the boundary
+    x[:, 70:110] += 0.9
+    lengths = np.full(B, L, np.int32)
+    sigma = np.full(B, np.median(SDS), np.float32)
+    bnd = np.zeros((B, L), np.int8)
+    for (b, _e) in segs:
+        bnd[:, b] = 1
+    st_packed = np.asarray(
+        viterbi_pallas(x, lengths, sigma, MEANS, boundaries=bnd, interpret=True))
+
+    # per-segment runs are the ground truth
+    for (b, e) in segs:
+        st_seg = np.asarray(viterbi_pallas(
+            x[:, b:e], np.full(B, e - b, np.int32), sigma, MEANS,
+            interpret=True))
+        np.testing.assert_array_equal(st_packed[:, b:e], st_seg)
