@@ -72,28 +72,49 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
     scratch: bp_ref [L, S, 128] i8 backpointers — at restart positions the
     backpointers are meaningless, so row 0 there instead stores the argmax
     of nu *before* the restart (the previous segment's final state), read
-    back when the backtrace crosses the restart; nu_ref [S, 128] f32."""
+    back when the backtrace crosses the restart; nu_ref [S, 128] f32.
+
+    Every intermediate is kept rank-2: rank-1 vectors (row indexing,
+    keepdims reductions, [None, :] reshapes) crash Mosaic's
+    VectorLayoutInferer::inferReshape on current libtpu, so axis-0
+    reductions over the small state dim are unrolled into static row
+    slices instead."""
     W = x_ref.shape[1]
-    sigma = sigma_ref[0, :]
-    lens = len_ref[0, :]
+    sigma = sigma_ref[:, :]                 # [1, W]
+    lens = len_ref[:, :]                    # [1, W] i32
     means_arr = params_ref[0:S, :]          # [S, W]
     log_delta_arr = params_ref[8:8 + S, :]  # [S, W]
     sidx = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
 
-    def emission(xrow):
-        z = jnp.abs(xrow[None, :] - means_arr) / sigma[None, :]
+    def _sum_s(a):                          # axis-0 sum of [S, W] -> [1, W]
+        out = a[0:1, :]
+        for s in range(1, S):
+            out = out + a[s:s + 1, :]
+        return out
+
+    def _max_argmax_s(a):                   # first-max semantics (R which.max)
+        m = a[0:1, :]
+        am = jnp.zeros_like(m, jnp.int32)
+        for s in range(1, S):
+            row = a[s:s + 1, :]
+            better = row > m
+            m = jnp.where(better, row, m)
+            am = jnp.where(better, s, am)
+        return m, am                        # [1, W], [1, W]
+
+    def emission(xrow):                     # xrow [1, W]
+        z = jnp.abs(xrow - means_arr) / sigma
         logp = _log_sf_std_normal(z)
         e = 1.0 / (-logp)
-        return jnp.log(e / jnp.sum(e, axis=0, keepdims=True))  # [S, 128]
+        return jnp.log(e / _sum_s(e))       # [S, W]
 
-    nu_ref[:, :] = log_delta_arr + emission(x_ref[0, :])
+    nu_ref[:, :] = log_delta_arr + emission(x_ref[pl.ds(0, 1), :])
     bp_ref[0] = sidx.astype(jnp.int8)
 
     def fwd(i, _):
         nu = nu_ref[:, :]
-        em = emission(x_ref[i, :])
-        m_all = jnp.max(nu, axis=0, keepdims=True)            # [1, 128]
-        a_all = jnp.argmax(nu, axis=0, keepdims=True)         # [1, 128] first-max
+        em = emission(x_ref[pl.ds(i, 1), :])
+        m_all, a_all = _max_argmax_s(nu)                      # [1, 128] each
         stay = nu + log_diag
         move = m_all + log_off
         best = jnp.maximum(stay, move)
@@ -104,10 +125,8 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
                       jnp.broadcast_to(a_all, (S, W)),
                       jnp.minimum(sidx, jnp.broadcast_to(a_all, (S, W)))),
         ).astype(jnp.int8)
-        # rank-2 dynamic load (rank-1 dynamic slices of the flag plane crash
-        # Mosaic layout inference on real TPU)
         bnd = bnd_ref[pl.ds(i, 1), :] > 0.0                    # [1, 128]
-        valid = (i < lens)[None, :]                            # [1, 128]
+        valid = i < lens                                       # [1, 128]
         # segment restart: fresh chain (delta + em); backpointers unused
         # there, so row 0 stores the previous segment's final state
         # (argmax of nu before the restart) for the backtrace
@@ -124,23 +143,19 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
     # backtrace: start at each sequence's last valid position; positions at
     # or beyond the length are filled during the sweep by carrying y through
     # identity backpointers (padded bp rows were written as identity).
-    y_last = jnp.argmax(nu_ref[:, :], axis=0).astype(jnp.int32)  # [128]
-    out_ref[L - 1, :] = y_last + 1
+    _, y_last = _max_argmax_s(nu_ref[:, :])                    # [1, 128]
+    out_ref[pl.ds(L - 1, 1), :] = y_last + 1
 
-    def bwd(k, y):
+    def bwd(k, y):                                             # y [1, 128]
         i = L - 2 - k
-        bp = bp_ref[i + 1].astype(jnp.int32)                    # [S, 128]
-        onehot = sidx == y[None, :]
-        y_bp = jnp.sum(jnp.where(onehot, bp, 0), axis=0)
+        bp = bp_ref[i + 1].astype(jnp.int32)                   # [S, 128]
+        y_bp = _sum_s(jnp.where(sidx == y, bp, 0))             # bp row picked by y
         # crossing a segment start backwards: position i is the END of the
         # previous segment -> its own argmax, stashed in bp row 0 at i+1
-        # (row extracted via masked sum: rank-1 slices of rank-2 vectors
-        # crash Mosaic layout inference)
-        y_am = jnp.sum(jnp.where(sidx == 0, bp, 0), axis=0)
-        # rank-2 load + axis-0 reduce: same Mosaic layout workaround as y_am
-        bnd = jnp.sum(bnd_ref[pl.ds(i + 1, 1), :], axis=0) > 0.0  # [128]
+        y_am = bp[0:1, :]
+        bnd = bnd_ref[pl.ds(i + 1, 1), :] > 0.0                # [1, 128]
         y_new = jnp.where(bnd, y_am, y_bp)
-        out_ref[i, :] = y_new + 1
+        out_ref[pl.ds(i, 1), :] = y_new + 1
         return y_new
 
     jax.lax.fori_loop(0, L - 1, bwd, y_last)
