@@ -1,0 +1,511 @@
+"""Minimal pure-Python reader for R serialization (RDS / RDA version 2-3, XDR).
+
+The reference package ships its golden outputs as ``data/*.rda`` (R workspace
+archives; reference ``R/data.R:1-43``) and accepts ``.rds`` counts matrices as
+input (``R/inferCNV.R:146-165``).  Neither ``pyreadr`` nor ``rdata`` is
+available in this image, so this module implements the subset of R's
+``serialize()`` format (format "X\\n" = big-endian XDR) needed to read those
+files: atomic vectors, pairlists, generic vectors, S4 objects, environments,
+factors, data.frames, dgCMatrix, and the ALTREP compact sequences R >= 3.5
+emits for ``row.names``.
+
+This is an original implementation from the publicly documented format
+(R internals manual, "Serialization Formats"); no code is derived from the
+reference repository (which is pure R and contains no reader either).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# SEXP type codes (R internals)
+NILSXP = 0
+SYMSXP = 1
+LISTSXP = 2
+CLOSXP = 3
+ENVSXP = 4
+PROMSXP = 5
+LANGSXP = 6
+SPECIALSXP = 7
+BUILTINSXP = 8
+CHARSXP = 9
+LGLSXP = 10
+INTSXP = 13
+REALSXP = 14
+CPLXSXP = 15
+STRSXP = 16
+DOTSXP = 17
+VECSXP = 19
+EXPRSXP = 20
+BCODESXP = 21
+EXTPTRSXP = 22
+WEAKREFSXP = 23
+RAWSXP = 24
+S4SXP = 25
+
+# pseudo-codes used by the serializer
+REFSXP = 255
+NILVALUE_SXP = 254
+GLOBALENV_SXP = 253
+UNBOUNDVALUE_SXP = 252
+MISSINGARG_SXP = 251
+BASENAMESPACE_SXP = 250
+NAMESPACESXP = 249
+PACKAGESXP = 248
+PERSISTSXP = 247
+CLASSREFSXP = 246
+GENERICREFSXP = 245
+BCREPDEF = 244
+BCREPREF = 243
+EMPTYENV_SXP = 242
+BASEENV_SXP = 241
+ATTRLISTSXP = 240
+ALTREP_SXP = 238
+
+R_NA_INT = -2147483648
+
+
+@dataclass
+class RObj:
+    """An R value with attributes (class, names, dim, levels, slots...)."""
+
+    value: Any
+    attrs: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def rclass(self) -> Optional[List[str]]:
+        cls = self.attrs.get("class")
+        if cls is None:
+            return None
+        return list(strip(cls)) if not isinstance(cls, str) else [cls]
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"RObj({type(self.value).__name__}, attrs={list(self.attrs)})"
+
+
+class RNull:
+    """R NULL singleton."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "R_NULL"
+
+
+class REnv:
+    """R environment — kept only so references resolve; contents as dict."""
+
+    def __init__(self):
+        self.frame: Dict[str, Any] = {}
+
+
+class _Sym(str):
+    """Interned symbol name."""
+
+
+def strip(x):
+    """Unwrap RObj -> raw value (one level)."""
+    return x.value if isinstance(x, RObj) else x
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self._b = data
+        self._pos = 0
+        self._refs: List[Any] = []
+
+    # -- primitives (XDR = big-endian) ------------------------------------
+    def _take(self, n: int) -> bytes:
+        b = self._b[self._pos:self._pos + n]
+        if len(b) != n:
+            raise EOFError("truncated RDS stream")
+        self._pos += n
+        return b
+
+    def u8(self) -> int:
+        return self._take(1)[0]
+
+    def i4(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def f8(self) -> float:
+        return struct.unpack(">d", self._take(8))[0]
+
+    def ints(self, n: int) -> np.ndarray:
+        return np.frombuffer(self._take(4 * n), dtype=">i4").astype(np.int32)
+
+    def doubles(self, n: int) -> np.ndarray:
+        return np.frombuffer(self._take(8 * n), dtype=">f8").astype(np.float64)
+
+    def length(self) -> int:
+        n = self.i4()
+        if n == -1:  # long vector: two 32-bit halves
+            hi = self.i4() & 0xFFFFFFFF
+            lo = self.i4() & 0xFFFFFFFF
+            return (hi << 32) | lo
+        return n
+
+    # -- header ------------------------------------------------------------
+    def read_header(self):
+        fmt = self._take(2)
+        if fmt == b"A\n":
+            raise NotImplementedError("ASCII serialization not supported")
+        if fmt not in (b"X\n", b"B\n"):
+            raise ValueError(f"unknown serialization format {fmt!r}")
+        if fmt == b"B\n":
+            raise NotImplementedError("native-binary serialization not supported")
+        version = self.i4()
+        self.i4()  # writer version
+        self.i4()  # min reader version
+        if version >= 3:
+            enc_len = self.i4()
+            self._take(enc_len)  # native encoding name
+        return version
+
+    # -- items ---------------------------------------------------------------
+    def item(self) -> Any:
+        flags = self.i4()
+        ptype = flags & 0xFF
+        is_obj = bool(flags & 0x100)
+        has_attr = bool(flags & 0x200)
+        has_tag = bool(flags & 0x400)
+        del is_obj
+
+        if ptype == REFSXP:
+            idx = flags >> 8
+            if idx == 0:
+                idx = self.i4()
+            return self._refs[idx - 1]
+        if ptype == NILVALUE_SXP or ptype == NILSXP:
+            return RNull()
+        if ptype == GLOBALENV_SXP or ptype == EMPTYENV_SXP or ptype == BASEENV_SXP \
+                or ptype == BASENAMESPACE_SXP:
+            return RNull()
+        if ptype in (UNBOUNDVALUE_SXP, MISSINGARG_SXP):
+            return RNull()
+        if ptype in (NAMESPACESXP, PACKAGESXP, PERSISTSXP):
+            # persistent string vec: flags already consumed; read string vector
+            self.i4()  # dummy "0" flag per format
+            n = self.i4()
+            strs = [self._charsxp() for _ in range(n)]
+            ref = RObj(strs, {"R_type": "namespace"})
+            self._refs.append(ref)
+            return ref
+
+        if ptype == SYMSXP:
+            ch = self.item()  # CHARSXP
+            sym = _Sym(ch if isinstance(ch, str) else str(ch))
+            self._refs.append(sym)
+            return sym
+
+        if ptype == ENVSXP:
+            env = REnv()
+            self._refs.append(env)
+            self.i4()  # locked
+            self.item()  # enclosure
+            frame = self.item()  # frame (pairlist)
+            hashtab = self.item()  # hash table (list of pairlists)
+            self.item()  # attributes
+            for src in (frame,) if not isinstance(frame, RNull) else ():
+                for k, v in _pairlist_items(src):
+                    env.frame[k] = v
+            if isinstance(hashtab, (list, RObj)):
+                for slot in (strip(hashtab) or []):
+                    for k, v in _pairlist_items(slot):
+                        env.frame[k] = v
+            return env
+
+        if ptype in (LISTSXP, LANGSXP, CLOSXP, PROMSXP, DOTSXP):
+            attrs = self._read_attrs_dict() if has_attr else {}
+            tag = self.item() if has_tag else None
+            car = self.item()
+            cdr = self.item()
+            node = RPair(tag=tag, car=car, cdr=cdr)
+            if attrs:
+                return RObj(node, attrs)
+            return node
+
+        if ptype == CHARSXP:
+            return self._charsxp_body()
+
+        if ptype == ALTREP_SXP:
+            info = self.item()  # pairlist: (class . (package . type))
+            state = self.item()
+            self.item()  # attributes (already expanded by class semantics)
+            return self._decode_altrep(info, state)
+
+        if ptype in (SPECIALSXP, BUILTINSXP):
+            n = self.i4()
+            self._take(n)
+            return RNull()
+
+        if ptype == LGLSXP:
+            n = self.length()
+            vals = self.ints(n)
+            out = np.where(vals == R_NA_INT, -1, vals).astype(np.int8)
+            obj = _MaskedBool(out)
+        elif ptype == INTSXP:
+            n = self.length()
+            obj = self.ints(n)
+        elif ptype == REALSXP:
+            n = self.length()
+            obj = self.doubles(n)
+        elif ptype == CPLXSXP:
+            n = self.length()
+            d = self.doubles(2 * n)
+            obj = d[0::2] + 1j * d[1::2]
+        elif ptype == STRSXP:
+            n = self.length()
+            obj = [self._charsxp() for _ in range(n)]
+        elif ptype in (VECSXP, EXPRSXP):
+            n = self.length()
+            obj = [self.item() for _ in range(n)]
+        elif ptype == RAWSXP:
+            n = self.length()
+            obj = self._take(n)
+        elif ptype == S4SXP:
+            attrs = self._read_attrs_dict() if has_attr else {}
+            return RObj({"R_S4": True}, attrs)
+        elif ptype == BCODESXP:
+            raise NotImplementedError("bytecode objects not supported")
+        elif ptype in (EXTPTRSXP, WEAKREFSXP):
+            ref = RNull()
+            self._refs.append(ref)
+            return ref
+        else:
+            raise NotImplementedError(f"SEXP type {ptype} not supported")
+
+        if has_attr:
+            attrs = self._read_attrs_dict()
+            return RObj(obj, attrs)
+        return obj
+
+    def _charsxp(self) -> Optional[str]:
+        flags = self.i4()
+        ptype = flags & 0xFF
+        if ptype == REFSXP:
+            idx = flags >> 8
+            if idx == 0:
+                idx = self.i4()
+            return self._refs[idx - 1]
+        if ptype != CHARSXP:
+            raise ValueError(f"expected CHARSXP, got type {ptype}")
+        return self._charsxp_body()
+
+    def _charsxp_body(self) -> Optional[str]:
+        n = self.i4()
+        if n == -1:
+            return None  # NA_character_
+        return self._take(n).decode("utf-8", errors="replace")
+
+    def _read_attrs_dict(self) -> Dict[str, Any]:
+        attrs: Dict[str, Any] = {}
+        node = self.item()
+        for k, v in _pairlist_items(node):
+            attrs[k] = v
+        return attrs
+
+    def _decode_altrep(self, info, state):
+        info = strip(info)
+        cls_name = ""
+        if isinstance(info, RPair):
+            cls_name = str(info.car)
+        if cls_name == "compact_intseq":
+            n, start, step = strip(state)
+            return (np.arange(int(n)) * int(step) + int(start)).astype(np.int32)
+        if cls_name == "compact_realseq":
+            n, start, step = strip(state)
+            return np.arange(int(n)) * float(step) + float(start)
+        if cls_name in ("wrap_real", "wrap_integer", "wrap_logical",
+                        "wrap_string", "wrap_complex", "wrap_raw"):
+            st = strip(state)
+            if isinstance(st, RPair):
+                return st.car
+            return st
+        if cls_name == "deferred_string":
+            st = strip(state)
+            src = st.car if isinstance(st, RPair) else st
+            arr = np.asarray(strip(src))
+            return [_fmt_r(v) for v in arr]
+        raise NotImplementedError(f"ALTREP class {cls_name!r} not supported")
+
+
+def _fmt_r(v) -> str:
+    if isinstance(v, (np.floating, float)):
+        if float(v).is_integer():
+            return str(int(v))
+        return repr(float(v))
+    return str(v)
+
+
+@dataclass
+class RPair:
+    tag: Any
+    car: Any
+    cdr: Any
+
+
+class _MaskedBool(np.ndarray):
+    """Logical vector: 1=TRUE, 0=FALSE, -1=NA."""
+
+    def __new__(cls, arr):
+        return np.asarray(arr).view(cls)
+
+
+def _pairlist_items(node):
+    node = strip(node)
+    while isinstance(node, RPair):
+        tag = node.tag
+        yield (str(tag) if tag is not None else None, node.car)
+        node = strip(node.cdr)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _decompress(path: str) -> bytes:
+    with open(path, "rb") as f:
+        magic = f.read(6)
+    if magic[:2] == b"\x1f\x8b":
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    if magic[:6] == b"\xfd7zXZ\x00":
+        with lzma.open(path, "rb") as f:
+            return f.read()
+    if magic[:3] == b"BZh":
+        with bz2.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def read_rds(path: str) -> Any:
+    """Read a ``saveRDS()`` file -> python object."""
+    data = _decompress(path)
+    r = _Reader(data)
+    r.read_header()
+    return r.item()
+
+
+def read_rda(path: str) -> Dict[str, Any]:
+    """Read a ``save()`` workspace (.rda/.RData) -> {name: object}."""
+    data = _decompress(path)
+    if data[:5] not in (b"RDX2\n", b"RDX3\n"):
+        raise ValueError(f"not an RDA file (magic {data[:5]!r})")
+    r = _Reader(data[5:])
+    r.read_header()
+    top = r.item()
+    out: Dict[str, Any] = {}
+    for name, val in _pairlist_items(top):
+        out[name] = val
+    return out
+
+
+# -- conversion helpers ------------------------------------------------------
+
+def r_matrix(obj) -> Tuple[np.ndarray, List[str], List[str]]:
+    """R matrix -> (2-D array [rows, cols], rownames, colnames).
+
+    R stores matrices column-major with a ``dim`` attribute.
+    """
+    if not isinstance(obj, RObj):
+        raise TypeError("expected RObj with dim attribute")
+    dim = np.asarray(strip(obj.attrs["dim"])).astype(int)
+    arr = np.asarray(obj.value).reshape(tuple(dim), order="F")
+    dn = obj.attrs.get("dimnames")
+    rown: List[str] = []
+    coln: List[str] = []
+    if dn is not None and not isinstance(dn, RNull):
+        dn = strip(dn)
+        if len(dn) >= 1 and not isinstance(dn[0], RNull):
+            rown = [str(s) for s in strip(dn[0])]
+        if len(dn) >= 2 and not isinstance(dn[1], RNull):
+            coln = [str(s) for s in strip(dn[1])]
+    return arr, rown, coln
+
+
+def r_factor(obj) -> List[str]:
+    """R factor -> list of level strings per element."""
+    codes = np.asarray(strip(obj)).astype(int)
+    levels = [str(s) for s in strip(obj.attrs["levels"])]
+    return [levels[c - 1] if c > 0 else None for c in codes]
+
+
+def r_data_frame(obj) -> Dict[str, Any]:
+    """R data.frame -> {"__rownames__": [...], col: values} preserving order."""
+    cols = strip(obj)
+    names = [str(s) for s in strip(obj.attrs["names"])]
+    rn = obj.attrs.get("row.names")
+    out: Dict[str, Any] = {}
+    if rn is not None and not isinstance(rn, RNull):
+        rnv = strip(rn)
+        if isinstance(rnv, np.ndarray) and rnv.dtype.kind in "if":
+            n = len(rnv)
+            if n == 2 and int(rnv[0]) == R_NA_INT:
+                rnv = np.arange(1, abs(int(rnv[1])) + 1)
+            out["__rownames__"] = [str(int(v)) for v in rnv]
+        else:
+            out["__rownames__"] = [str(s) for s in rnv]
+    for name, col in zip(names, cols):
+        if isinstance(col, RObj) and col.rclass and "factor" in col.rclass:
+            out[name] = r_factor(col)
+        else:
+            out[name] = strip(col)
+    return out
+
+
+def r_list(obj) -> Dict[str, Any]:
+    """Named R list -> dict (unnamed entries get positional int keys)."""
+    vals = strip(obj)
+    if isinstance(vals, RNull):
+        return {}
+    names_attr = obj.attrs.get("names") if isinstance(obj, RObj) else None
+    names = [str(s) if s is not None else None for s in strip(names_attr)] \
+        if names_attr is not None and not isinstance(names_attr, RNull) else []
+    out: Dict[str, Any] = {}
+    for i, v in enumerate(vals):
+        key = names[i] if i < len(names) and names[i] else i
+        out[key] = v
+    return out
+
+
+def s4_slots(obj: RObj) -> Dict[str, Any]:
+    """S4 object -> slot dict (class attr removed)."""
+    slots = dict(obj.attrs)
+    slots.pop("class", None)
+    return slots
+
+
+def r_dgc_matrix(obj: RObj) -> "Any":
+    """dgCMatrix S4 -> scipy.sparse.csc_matrix."""
+    import scipy.sparse as sp
+
+    sl = s4_slots(obj)
+    i = np.asarray(strip(sl["i"])).astype(np.int64)
+    p = np.asarray(strip(sl["p"])).astype(np.int64)
+    x = np.asarray(strip(sl["x"]))
+    dim = np.asarray(strip(sl["Dim"])).astype(int)
+    m = sp.csc_matrix((x, i, p), shape=tuple(dim))
+    dn = sl.get("Dimnames")
+    rown, coln = [], []
+    if dn is not None:
+        dnv = strip(dn)
+        if len(dnv) >= 1 and not isinstance(dnv[0], RNull):
+            rown = [str(s) for s in strip(dnv[0])]
+        if len(dnv) >= 2 and not isinstance(dnv[1], RNull):
+            coln = [str(s) for s in strip(dnv[1])]
+    return m, rown, coln
