@@ -25,8 +25,14 @@ def _open(path: str):
 
 
 def read_counts_matrix(path: str, sep: str = "\t") -> Tuple[np.ndarray, List[str], List[str]]:
-    """Read a genes x cells counts table. Returns (matrix [G, C], gene_names, cell_names)."""
+    """Read a genes x cells counts table. Returns (matrix [G, C], gene_names, cell_names).
+
+    Accepts tab/comma-separated text (optionally gzipped) or an ``.rds`` file
+    holding a dense matrix, data.frame, or Matrix::dgCMatrix — matching the
+    reference's input handling (R/inferCNV.R:146-165)."""
     log_info(f"Reading counts matrix: {path}")
+    if path.endswith(".rds") or path.endswith(".RDS"):
+        return _read_counts_rds(path)
     with _open(path) as f:
         header = f.readline().rstrip("\n").split(sep)
         # header may or may not carry a leading corner label
@@ -47,6 +53,29 @@ def read_counts_matrix(path: str, sep: str = "\t") -> Tuple[np.ndarray, List[str
     mat = np.vstack(rows)
     log_info(f"-counts matrix: {mat.shape[0]} genes x {mat.shape[1]} cells")
     return mat, gene_names, cell_names
+
+
+def _read_counts_rds(path: str) -> Tuple[np.ndarray, List[str], List[str]]:
+    """Read an .rds counts matrix (dense R matrix, data.frame, or dgCMatrix)."""
+    from infercnv_tpu.io.rds import (
+        RObj, r_data_frame, r_dgc_matrix, r_matrix, read_rds,
+    )
+
+    obj = read_rds(path)
+    if isinstance(obj, RObj) and obj.rclass and "dgCMatrix" in obj.rclass:
+        sp_mat, rows, cols = r_dgc_matrix(obj)
+        return np.asarray(sp_mat.toarray(), np.float64), rows, cols
+    if isinstance(obj, RObj) and obj.rclass and "data.frame" in obj.rclass:
+        df = r_data_frame(obj)
+        rows = df.pop("__rownames__")
+        cols = list(df)
+        mat = np.column_stack([np.asarray(df[c], np.float64) for c in cols])
+        return mat, rows, cols
+    if isinstance(obj, RObj) and "dim" in obj.attrs:
+        mat, rows, cols = r_matrix(obj)
+        return np.asarray(mat, np.float64), rows, cols
+    raise ValueError(f"unsupported .rds payload in {path}: expected matrix, "
+                     "data.frame, or dgCMatrix")
 
 
 def read_gene_order_file(path: str) -> Tuple[Dict[str, Tuple[str, int, int]], List[str]]:
@@ -130,6 +159,48 @@ def load_infercnv_object(
         chr_exclude=chr_exclude,
         min_max_counts_per_cell=min_max_counts_per_cell,
         max_cells_per_group=max_cells_per_group,
+    )
+
+
+def _rda_example_tables(base: str):
+    """Parse the reference's packaged example .rda datasets
+    (reference R/data.R:1-22: infercnv_data_example 8252x20,
+    infercnv_annots_example, infercnv_genes_example)."""
+    from infercnv_tpu.io.rds import r_data_frame, read_rda
+
+    d = os.path.join(base, "data")
+    ddf = r_data_frame(read_rda(os.path.join(d, "infercnv_data_example.rda"))["infercnv_data_example"])
+    genes = ddf.pop("__rownames__")
+    cells = list(ddf)
+    mat = np.column_stack([np.asarray(ddf[c], np.float64) for c in cells])  # [G, C]
+    adf = r_data_frame(read_rda(os.path.join(d, "infercnv_annots_example.rda"))["infercnv_annots_example"])
+    ann_col = [c for c in adf if c != "__rownames__"][0]
+    ann = dict(zip(adf["__rownames__"], [str(v) for v in adf[ann_col]]))
+    gdf = r_data_frame(read_rda(os.path.join(d, "infercnv_genes_example.rda"))["infercnv_genes_example"])
+    cols = [c for c in gdf if c != "__rownames__"]
+    chrs = [str(c) for c in gdf[cols[0]]]
+    starts = np.asarray(gdf[cols[1]])
+    stops = np.asarray(gdf[cols[2]])
+    table = {g: (c, int(s), int(e)) for g, c, s, e in zip(gdf["__rownames__"], chrs, starts, stops)}
+    chr_order: List[str] = []
+    seen = set()
+    for c in chrs:
+        if c not in seen:
+            seen.add(c)
+            chr_order.append(c)
+    return mat, genes, cells, ann, table, chr_order
+
+
+def load_r_golden_example(ref_group_names: Sequence[str] = ("normal",)) -> InferCNV:
+    """Build an InferCNV object from the reference's packaged example data —
+    the Python analogue of R's ``data(infercnv_data_example); ...;
+    CreateInfercnvObject(...)`` (reference R/inferCNV_ops.R:223-230)."""
+    base = os.environ.get("INFERCNV_REFERENCE_DIR", "/root/reference")
+    mat, genes, cells, ann, table, chr_order = _rda_example_tables(base)
+    return create_infercnv_object(
+        counts_matrix=mat, gene_names=genes, cell_names=cells,
+        annotations=ann, gene_order_table=table, chr_file_order=chr_order,
+        ref_group_names=list(ref_group_names),
     )
 
 

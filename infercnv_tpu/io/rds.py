@@ -490,6 +490,65 @@ def s4_slots(obj: RObj) -> Dict[str, Any]:
     return slots
 
 
+def write_rds_matrix(path: str, mat: np.ndarray,
+                     rownames: Optional[List[str]] = None,
+                     colnames: Optional[List[str]] = None) -> None:
+    """Write a numeric matrix as a gzipped .rds readable by R's readRDS().
+
+    Lets R users of the reference package consume this framework's outputs
+    directly (and provides .rds fixtures for tests)."""
+    mat = np.asarray(mat, np.float64)
+    out = io.BytesIO()
+
+    def wi(v: int):
+        out.write(struct.pack(">i", v))
+
+    def wstr(s: str):
+        b = s.encode("utf-8")
+        wi(CHARSXP | (8 << 12))  # CHARSXP with UTF-8 charset bit in levels
+        wi(len(b))
+        out.write(b)
+
+    def wstrvec(strs: List[str]):
+        wi(STRSXP)
+        wi(len(strs))
+        for s in strs:
+            wstr(s)
+
+    def wsym(name: str):
+        wi(SYMSXP)
+        wstr(name)
+
+    out.write(b"X\n")
+    wi(2)  # version
+    wi(0x030500)  # writer
+    wi(0x020300)  # min reader
+    has_dimnames = bool(rownames or colnames)
+    flags = REALSXP | 0x200  # has attributes
+    wi(flags)
+    wi(mat.size)
+    out.write(np.ascontiguousarray(mat, ">f8").tobytes(order="F"))
+    # attribute pairlist: dim, then optionally dimnames, then NIL
+    wi(LISTSXP | 0x400)  # pairlist node with tag
+    wsym("dim")
+    wi(INTSXP)
+    wi(2)
+    out.write(np.asarray(mat.shape, ">i4").tobytes())
+    if has_dimnames:
+        wi(LISTSXP | 0x400)
+        wsym("dimnames")
+        wi(VECSXP)
+        wi(2)
+        for names, n in ((rownames, mat.shape[0]), (colnames, mat.shape[1])):
+            if names:
+                wstrvec([str(s) for s in names][:n])
+            else:
+                wi(NILVALUE_SXP)
+    wi(NILVALUE_SXP)  # end of attribute pairlist
+    with gzip.open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
 def r_dgc_matrix(obj: RObj) -> "Any":
     """dgCMatrix S4 -> scipy.sparse.csc_matrix."""
     import scipy.sparse as sp

@@ -1,0 +1,186 @@
+"""Golden-parity harness against the reference package's OWN packaged outputs.
+
+The reference ships the results of running its example pipeline as .rda data
+(reference R/data.R:1-43):
+
+  * ``infercnv_object_example.rda`` — final infercnv object of
+    ``run(cutoff=1, cluster_by_groups=TRUE, denoise=TRUE, HMM=FALSE,
+    analysis_mode='samples')`` on the 8252x20 example
+    (config documented at R/inferCNV_ops.R:223-240).
+  * ``HMM_states.rda`` — the i6 HMM state matrix of the same run with
+    HMM=TRUE (R/inferCNV_BayesNet.R:1201-1220).
+  * ``mcmc_obj.rda`` — the JAGS posterior (MCMC_inferCNV object) of
+    ``inferCNVBayesNet`` on those states.
+
+These tests load the actual R-produced numbers through our RDS reader and
+assert our pipeline reproduces them:
+
+  * the final denoised expression matrix element-wise (deterministic path —
+    this is the "bit-compatible CNV calls" north star; observed max abs
+    difference ~5e-7, i.e. float32 rounding),
+  * the HMM state calls (hspike emission calibration is RNG-dependent, so we
+    require >= 99.5% identical calls and adjacent-state-only disagreements),
+  * the Gibbs theta posteriors vs JAGS within MC error, with identical
+    per-region argmax states.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from infercnv_tpu.io.loaders import load_r_golden_example
+from infercnv_tpu.io.rds import (
+    r_data_frame,
+    r_factor,
+    r_list,
+    r_matrix,
+    read_rda,
+    s4_slots,
+    strip,
+)
+from infercnv_tpu.runner.pipeline import run
+
+REF = os.environ.get("INFERCNV_REFERENCE_DIR", "/root/reference")
+DATA = os.path.join(REF, "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference golden data not available")
+
+
+@pytest.fixture(scope="module")
+def golden_run(tmp_path_factory):
+    """One pipeline run with the golden config (HMM=TRUE superset: its final
+    expr matches the HMM=FALSE golden object, and it also yields states)."""
+    obj = load_r_golden_example()
+    out = tmp_path_factory.mktemp("golden_run")
+    res = run(obj, out_dir=str(out), cutoff=1, cluster_by_groups=True,
+              denoise=True, HMM=True, analysis_mode="samples", no_plot=True,
+              save_rds=False, BayesMaxPNormal=0)  # keep raw step-17 states
+    return res
+
+
+def test_rds_reader_parses_all_golden_files():
+    d = read_rda(os.path.join(DATA, "infercnv_data_example.rda"))
+    df = r_data_frame(d["infercnv_data_example"])
+    assert len(df.pop("__rownames__")) == 8252 and len(df) == 20
+    g = r_data_frame(read_rda(os.path.join(DATA, "infercnv_genes_example.rda"))["infercnv_genes_example"])
+    assert len(g["__rownames__"]) == 10338
+    obj = read_rda(os.path.join(DATA, "infercnv_object_example.rda"))["infercnv_object_example"]
+    assert obj.rclass == ["infercnv"]
+    m, rows, cols = r_matrix(s4_slots(obj)["expr.data"])
+    assert m.shape == (4613, 20) and rows[0] and cols[0]
+
+
+def test_final_expr_matches_reference_golden(golden_run):
+    """Element-wise match of the final denoised matrix vs the R package's
+    packaged result — the deterministic end-to-end parity claim."""
+    ours = golden_run.infercnv_obj
+    gold = read_rda(os.path.join(DATA, "infercnv_object_example.rda"))["infercnv_object_example"]
+    gm, grows, gcols = r_matrix(s4_slots(gold)["expr.data"])  # [G, C]
+
+    assert list(ours.gene_order.names) == grows, "gene set/order differs from R"
+    ci = {c: i for i, c in enumerate(gcols)}
+    oc = np.array([ci[c] for c in ours.cell_names])
+    ours_gc = ours.expr.T.astype(np.float64)  # [G, C]
+    diff = np.abs(ours_gc - gm[:, oc])
+    assert diff.max() < 1e-5, f"max abs diff vs R golden: {diff.max()}"
+
+
+def test_hmm_states_match_reference_golden(golden_run):
+    """i6 HMM state calls vs the packaged HMM_states matrix.  The hspike
+    emission calibration uses RNG (R streams are not reproducible in JAX),
+    so we require near-total agreement with adjacent-state-only differences.
+    Observed: 99.95% agreement."""
+    gm, grows, gcols = r_matrix(read_rda(os.path.join(DATA, "HMM_states.rda"))["HMM_states"])
+    ours = golden_run.hmm_states  # [C, G]
+    go = golden_run.hmm_gene_order
+    assert list(go.names) == grows
+    ci = {c: i for i, c in enumerate(gcols)}
+    oc = np.array([ci[c] for c in golden_run.infercnv_obj.cell_names])
+    A = ours.T.astype(int)
+    B = gm[:, oc].astype(int)
+    agreement = float((A == B).mean())
+    assert agreement >= 0.995, f"state agreement {agreement:.4f} < 0.995"
+    bad = A[A != B] - B[A != B]
+    if bad.size:
+        assert np.max(np.abs(bad)) <= 1, "non-adjacent state disagreement vs R"
+    # same state alphabet actually used
+    assert set(np.unique(A)) <= set(np.unique(B)) | {int(B.min()) - 1, int(B.max()) + 1}
+
+
+def test_gibbs_theta_matches_jags_golden():
+    """Our blocked-Gibbs sampler vs the packaged JAGS posterior (mcmc_obj):
+    theta posterior means within MC error, identical argmax per region."""
+    import jax
+    import jax.numpy as jnp
+
+    from infercnv_tpu.models.bayes import _gibbs_all_regions
+
+    m = s4_slots(read_rda(os.path.join(DATA, "mcmc_obj.rda"))["mcmc_obj"])
+    mu = np.asarray(strip(m["mu"]))
+    tau = np.asarray(strip(m["sig"]))  # BUGS dnorm precision
+    gold_theta, rn, _ = r_matrix(r_list(m["cnv_probabilities"])[0])  # [6, R]
+    assert rn[0].startswith("theta")
+    cg = r_list(m["cell_gene"])
+    gm, _, _ = r_matrix(s4_slots(
+        read_rda(os.path.join(DATA, "infercnv_object_example.rda"))["infercnv_object_example"]
+    )["expr.data"])
+
+    R, S, C = len(cg), 6, gm.shape[1]
+    ll = np.zeros((R, C, S), np.float32)
+    mask = np.zeros((R, C), np.float32)
+    const = 0.5 * np.log(tau / (2 * np.pi))
+    for ri, k in enumerate(cg):
+        e = r_list(cg[k])
+        gidx = np.asarray(strip(e["Genes"])).astype(int) - 1
+        cidx = np.asarray(strip(e["Cells"])).astype(int) - 1
+        mask[ri, cidx] = 1
+        sub = gm[gidx][:, cidx]
+        for s in range(S):
+            ll[ri, cidx, s] = (-0.5 * tau[s] * (sub - mu[s]) ** 2 + const[s]).sum(axis=0)
+    ll = ll * mask[:, :, None]
+
+    theta_mean, _eps, _traces = _gibbs_all_regions(
+        jax.random.PRNGKey(12345), jnp.asarray(ll), jnp.asarray(mask), 6, 200, 1000)
+    ours = np.asarray(theta_mean).T  # [S, R]
+    d = np.abs(ours - gold_theta)
+    assert d.max() < 0.02, f"theta posterior deviates from JAGS: max {d.max():.4f}"
+    assert np.array_equal(ours.argmax(axis=0), gold_theta.argmax(axis=0))
+
+
+def test_mcmc_region_structure_matches(golden_run):
+    """The set of CNV regions our pipeline models in the Bayes step matches
+    the regions JAGS was run on (same chromosomes, same cardinality class)."""
+    from infercnv_tpu.models.bayes import run_bayesian_mixture
+
+    m = s4_slots(read_rda(os.path.join(DATA, "mcmc_obj.rda"))["mcmc_obj"])
+    gold_regions = r_factor(m["cnv_regions"])
+    obj = golden_run.infercnv_obj
+    _res, regions = run_bayesian_mixture(
+        obj, golden_run.hmm_states, "i6", obj.hspike, report_by="subcluster")
+    gold_chrs = sorted(r.split("-")[0] for r in gold_regions)
+    our_chrs = sorted(r["name"].split("-")[0] for r in regions)
+    assert our_chrs == gold_chrs, (our_chrs, gold_chrs)
+
+
+def test_rds_counts_ingestion(tmp_path):
+    """.rds counts matrices load through read_counts_matrix
+    (reference accepts .rds counts, R/inferCNV.R:146-165)."""
+    from infercnv_tpu.io.loaders import read_counts_matrix
+    from infercnv_tpu.io.rds import read_rds, write_rds_matrix
+
+    mat = np.arange(12, dtype=np.float64).reshape(3, 4)
+    rows = ["gA", "gB", "gC"]
+    cols = ["c1", "c2", "c3", "c4"]
+    p = str(tmp_path / "counts.rds")
+    write_rds_matrix(p, mat, rows, cols)
+    # round-trips through our own reader
+    obj = read_rds(p)
+    m2, r2, c2 = r_matrix(obj)
+    np.testing.assert_array_equal(m2, mat)
+    assert r2 == rows and c2 == cols
+    # and through the counts loader entry point
+    m3, r3, c3 = read_counts_matrix(p)
+    np.testing.assert_array_equal(m3, mat)
+    assert r3 == rows and c3 == cols
