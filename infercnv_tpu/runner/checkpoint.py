@@ -114,17 +114,28 @@ def save_step(obj: InferCNV, path: str, relevant_args: Dict,
         "gene_names": list(go.names),
         "chr_names": list(go.chr_names),
         "counts_md5": obj.options.get("counts_md5"),
+        "options": {k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in obj.options.items()
+                    if isinstance(v, (str, int, float, bool, tuple, list, type(None)))},
         "subclusters": (
             {g: _groups_to_json(s) for g, s in obj.tumor_subclusters["subclusters"].items()}
             if obj.tumor_subclusters else None
         ),
+        "hc_groups": (
+            [g for g, link in obj.tumor_subclusters.get("hc", {}).items()
+             if link is not None]
+            if obj.tumor_subclusters else []
+        ),
     }
     arrays = {
         "expr": obj.expr,
+        "counts": obj.counts,
         "chr_ids": go.chr_ids,
         "start": go.start,
         "stop": go.stop,
     }
+    for i, g in enumerate(meta["hc_groups"]):
+        arrays[f"hc_{i}"] = np.asarray(obj.tumor_subclusters["hc"][g])
     if states is not None:
         arrays["states"] = states
     if obj.hspike is not None:
@@ -153,19 +164,23 @@ def load_step(path: str) -> Tuple[InferCNV, Dict, Optional[np.ndarray]]:
         chr_names=tuple(meta["chr_names"]),
         chr_ids=z["chr_ids"], start=z["start"], stop=z["stop"],
     )
+    options = dict(meta.get("options") or {})
+    options.setdefault("counts_md5", meta.get("counts_md5"))
     obj = InferCNV(
         expr=z["expr"],
-        counts=z["expr"],
+        counts=z["counts"] if "counts" in z.files else z["expr"],
         gene_order=go,
         cell_names=list(meta["cell_names"]),
         ref_groups=_groups_from_json(meta["ref_groups"]),
         obs_groups=_groups_from_json(meta["obs_groups"]),
-        options={"counts_md5": meta.get("counts_md5")},
+        options=options,
     )
     if meta.get("subclusters"):
+        hc = {g: z[f"hc_{i}"] for i, g in enumerate(meta.get("hc_groups") or [])
+              if f"hc_{i}" in z.files}
         obj.tumor_subclusters = {
             "subclusters": {g: _groups_from_json(s) for g, s in meta["subclusters"].items()},
-            "hc": {},
+            "hc": hc,
         }
     if meta.get("hspike") and "hspike_expr" in z.files:
         hm = meta["hspike"]
@@ -187,11 +202,14 @@ def _json_eq(a, b) -> bool:
     return json.dumps(a, sort_keys=True, default=str) == json.dumps(b, sort_keys=True, default=str)
 
 
-def scan_resume(out_dir: str, cfg, resume_token: str, counts_md5: Optional[str]):
-    """Find the newest reusable step checkpoint.  Returns (step, obj, states)
-    or (0, None, None)."""
+def scan_hmm_states(out_dir: str, cfg, resume_token: str,
+                    counts_md5: Optional[str]) -> Tuple[int, Optional[np.ndarray]]:
+    """Reload the HMM chain's state matrix from the step-19 (post-Bayes) or
+    step-17 (raw Viterbi) checkpoint, newest-first, with the same arg/md5
+    validation as scan_resume (reference special-cases the 17->20 chain,
+    inferCNV_ops.R:459-529).  Returns (step, states) or (0, None)."""
     cum_args = relevant_args_by_step(cfg)
-    for step in range(23, 0, -1):
+    for step in (19, 17):
         path = os.path.join(out_dir, step_filename(step, resume_token))
         if not os.path.exists(path):
             continue
@@ -199,8 +217,35 @@ def scan_resume(out_dir: str, cfg, resume_token: str, counts_md5: Optional[str])
             obj, saved_args, states = load_step(path)
         except Exception:
             continue
-        if counts_md5 and saved_args is not None:
-            pass
+        if states is None:
+            continue
+        saved_md5 = obj.options.get("counts_md5")
+        if counts_md5 and saved_md5 and saved_md5 != counts_md5:
+            continue
+        if _json_eq(saved_args, cum_args[step - 1]):
+            log_info(f"resume: reusing HMM states from step {step}: {path}")
+            return step, np.asarray(states)
+    return 0, None
+
+
+def scan_resume(out_dir: str, cfg, resume_token: str, counts_md5: Optional[str],
+                max_step: int = 23):
+    """Find the newest reusable step checkpoint.  Returns (step, obj, states)
+    or (0, None, None)."""
+    cum_args = relevant_args_by_step(cfg)
+    for step in range(max_step, 0, -1):
+        path = os.path.join(out_dir, step_filename(step, resume_token))
+        if not os.path.exists(path):
+            continue
+        try:
+            obj, saved_args, states = load_step(path)
+        except Exception:
+            continue
+        saved_md5 = obj.options.get("counts_md5")
+        if counts_md5 and saved_md5 and saved_md5 != counts_md5:
+            log_info(f"resume: checkpoint {path} was built from different "
+                     "input counts (md5 mismatch); recomputing")
+            continue
         if _json_eq(saved_args, cum_args[step - 1]):
             log_info(f"resume: reusing checkpoint for step {step}: {path}")
             return step, obj, states

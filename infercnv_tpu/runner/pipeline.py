@@ -157,12 +157,47 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     cum_args = ckpt.relevant_args_by_step(cfg)
 
     skip_past = 0
+    resume_step = 0
+    resume_states: Optional[np.ndarray] = None
     if cfg.resume_mode and cfg.save_rds:
+        orig_obj = obj
         step, restored, _states = ckpt.scan_resume(
             cfg.out_dir, cfg, resume_token, obj.options.get("counts_md5"))
-        if step > 0 and step <= 16:
+        if step > 0:
             obj = restored
-            skip_past = step
+            resume_step = step
+            # Steps 17-20 checkpoint the separate HMM chain (reference
+            # inferCNV_ops.R:459-529 special-cases 17->20 and the mcmc_obj).
+            # Their expr payload is the post-step-16 matrix, so the expr
+            # chain resumes at 16; steps >= 21 carry post-HMM expr edits and
+            # resume in place.
+            skip_past = 16 if 17 <= step <= 20 else step
+            if step >= 17:
+                if _states is not None:
+                    resume_states = np.asarray(_states)
+                else:
+                    # landed on a 21/22 checkpoint: the HMM states live in
+                    # the separate 19 (post-Bayes) or 17 (raw) files
+                    _hstep, hstates = ckpt.scan_hmm_states(
+                        cfg.out_dir, cfg, resume_token,
+                        obj.options.get("counts_md5"))
+                    if hstates is not None:
+                        # args matching at step >= 21 implies the Bayes args
+                        # matched too, so these states are final
+                        resume_states = hstates
+            if cfg.HMM and resume_states is None and resume_step >= 21:
+                # state files are gone: the 21/22 expr is post-HMM-epilogue
+                # but Viterbi needs the post-16 matrix -> resume only up to 16
+                log_warn("resume: HMM state checkpoints missing; recomputing HMM chain")
+                obj = orig_obj
+                resume_step = 0
+                skip_past = 0
+                step2, restored2, _ = ckpt.scan_resume(
+                    cfg.out_dir, cfg, resume_token,
+                    obj.options.get("counts_md5"), max_step=16)
+                if step2 > 0:
+                    obj = restored2
+                    skip_past = step2
 
     def save(step: int, states: Optional[np.ndarray] = None) -> None:
         if cfg.save_rds and skip_past < step:
@@ -421,7 +456,14 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     # STEP 17: HMM CNV prediction (hot loop #2)
     hmm_states = None
     hmm_resume_token = f"{resume_token}.hmm_mode-{cfg.analysis_mode}"
-    if cfg.HMM:
+    if cfg.HMM and resume_states is not None and resume_step >= 17:
+        # resume the 17->20 chain: step-17 states are raw Viterbi calls,
+        # step-19 states are post-Bayes-filter (reference :459-529)
+        log_info(f"STEP 17: resuming HMM predictions from step-{resume_step} checkpoint")
+        hmm_states = resume_states
+        result.hmm_states = hmm_states
+        result.hmm_gene_order = obj.gene_order
+    elif cfg.HMM:
         log_info("STEP 17: HMM-based CNV prediction")
         timer_hmm = timer.step("17_hmm")
         timer_hmm.__enter__()
@@ -484,7 +526,9 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         return result
 
     # STEPS 18-19: Bayesian mixture model filtering
-    if (cfg.HMM and cfg.BayesMaxPNormal > 0 and hmm_states is not None
+    if cfg.HMM and resume_step >= 19 and hmm_states is not None:
+        log_info("STEPS 18-19: resuming post-Bayes filtered states from checkpoint")
+    elif (cfg.HMM and cfg.BayesMaxPNormal > 0 and hmm_states is not None
             and len(np.unique(hmm_states)) > 1):
         log_info("STEP 18: Run Bayesian Network Model on HMM predicted CNVs")
         from infercnv_tpu.models.bayes import bayesian_filter_states
