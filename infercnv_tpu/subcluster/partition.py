@@ -152,21 +152,46 @@ def _single_tumor_hclust_subclustering(
     return Z, subclusters
 
 
-def _parameterize_random_cluster_heights(expr_sub: np.ndarray, rng: np.random.Generator,
-                                         n_iters: int = 100):
-    """reference .parameterize_random_cluster_heights (:467-531): permute
-    each gene column across cells, rebuild the tree, record max height."""
-    Z = ward_linkage(expr_sub)
+def runmean_median_center(expr_cg: np.ndarray, k: int) -> np.ndarray:
+    """caTools::runmean(k, endrule='mean') along the gene axis of each cell,
+    then per-cell median centering — the pre-smoothing the reference applies
+    before EVERY tree build in random_trees
+    (…random_smoothed_trees.R:71-73, :221-223).  Note: the reference smooths
+    over the whole gene axis here, ignoring chromosome boundaries."""
+    x = np.asarray(expr_cg, np.float64)
+    n, G = x.shape
+    if G == 0 or k <= 1:
+        sm = x.copy()
+    else:
+        h = (k - 1) // 2
+        cs = np.concatenate([np.zeros((n, 1)), np.cumsum(x, axis=1)], axis=1)
+        pos = np.arange(G)
+        lo = np.maximum(pos - h, 0)
+        hi = np.minimum(pos + h, G - 1)
+        sm = (cs[:, hi + 1] - cs[:, lo]) / (hi - lo + 1)
+    return sm - np.median(sm, axis=1, keepdims=True)
+
+
+def _parameterize_random_cluster_heights_smoothed(
+    expr_sub: np.ndarray, window_size: int, rng: np.random.Generator,
+    n_iters: int = 100):
+    """reference .parameterize_random_cluster_heights_smoothed_trees
+    (…random_smoothed_trees.R:217-290): the observed tree is built on the
+    runmean-smoothed, median-centered matrix; each of the 100 null iterations
+    permutes every gene column of the RAW matrix across cells, re-smooths,
+    re-centers, and records the max merge height; p = P(max_rand > max_obs)."""
+    sm = runmean_median_center(expr_sub, window_size)
+    Z = ward_linkage(sm)
     max_h = Z[:, 2].max()
     n, G = expr_sub.shape
     max_rand = np.empty(n_iters)
     for i in range(n_iters):
-        perm = expr_sub.copy()
-        for g in range(G):
-            perm[:, g] = perm[rng.permutation(n), g]
-        Zr = ward_linkage(perm)
+        # independent permutation of each gene column across cells
+        perm_idx = np.argsort(rng.random((n, G)), axis=0)
+        perm = np.take_along_axis(expr_sub, perm_idx, axis=0)
+        Zr = ward_linkage(runmean_median_center(perm, window_size))
         max_rand[i] = Zr[:, 2].max()
-    pval = float((max_rand >= max_h).mean())
+    pval = float((max_rand > max_h).mean())  # 1 - ecdf(max_h)
     return Z, max_h, max_rand, pval
 
 
@@ -175,26 +200,39 @@ def _random_trees_recurse(
     expr_sub: np.ndarray,
     p_val: float,
     rng: np.random.Generator,
+    window_size: int = 101,
     min_cluster_size_recurse: int = 10,
+    max_recursion_depth: int = 3,
+    depth: int = 1,
 ) -> list:
     """Recursive permutation-test partitioning (reference
-    .single_tumor_subclustering_recursive_random_trees :403-465).
+    .single_tumor_subclustering_recursive_random_smoothed_trees
+    …random_smoothed_trees.R:130-211): recursion depth capped at 3, cut at
+    the midpoint of the two largest merge heights, recurse only into
+    subclusters of >= min_cluster_size_recurse (10) cells, and keep the
+    parent when every subcluster is below that size.
     Returns list of index arrays (leaves of the recursion)."""
     n = group_idx.shape[0]
-    if n <= 2:
+    if depth > max_recursion_depth or n <= 2:
         return [group_idx]
-    Z, max_h, max_rand, pval = _parameterize_random_cluster_heights(expr_sub, rng)
+    Z, max_h, max_rand, pval = _parameterize_random_cluster_heights_smoothed(
+        expr_sub, window_size, rng)
     if max_h <= 0 or pval > p_val:
         return [group_idx]
     h = np.sort(Z[:, 2])
     cut_height = (h[-1] + h[-2]) / 2.0 if h.size >= 2 else h[-1] / 2
     grps = _cut_groups_ordered(Z, cut_height)
+    uniq = np.unique(grps)
+    if all((grps == g).sum() < min_cluster_size_recurse for g in uniq):
+        return [group_idx]
     out = []
-    for g in np.unique(grps):
+    for g in uniq:
         sel = grps == g
         sub_idx = group_idx[sel]
-        if sel.sum() > min_cluster_size_recurse:
-            out.extend(_random_trees_recurse(sub_idx, expr_sub[sel], p_val, rng))
+        if sel.sum() >= min_cluster_size_recurse:
+            out.extend(_random_trees_recurse(
+                sub_idx, expr_sub[sel], p_val, rng, window_size,
+                min_cluster_size_recurse, max_recursion_depth, depth + 1))
         else:
             out.append(sub_idx)
     return out
@@ -238,6 +276,7 @@ def define_tumor_subclusters(
     per_chr_hmm_subclusters_references: bool = False,
     z_score_filter: float = 0.8,
     seed: int = 12345,
+    random_trees_window_size: int = 101,
 ) -> Optional[Dict[str, Dict[str, np.ndarray]]]:
     """Populate obj.tumor_subclusters; returns subclusters_per_chr or None.
 
@@ -253,8 +292,23 @@ def define_tumor_subclusters(
         tumor_groups = {"all_observations": obj.all_obs_idx(),
                         **{k: np.asarray(v) for k, v in obj.ref_groups.items()}}
 
-    keep_genes = zscore_gene_filter(obj, z_score_filter)
-    expr = obj.expr[:, keep_genes]
+    if partition_method == "random_trees":
+        # the reference subtracts the reference profile (count-space means,
+        # inv_log=TRUE) on a copy before testing clusters
+        # (…random_smoothed_trees.R:13) and applies no z-score gene filter
+        from infercnv_tpu.ops import transforms as T
+
+        if obj.has_reference_cells():
+            rgroups = [np.asarray(v) for v in obj.ref_groups.values()]
+        else:
+            rgroups = [obj.all_obs_idx()]
+        M = T.group_onehot(rgroups, obj.num_cells)
+        means = T.ref_group_gene_means(obj.expr, M, inv_log=True)
+        expr = np.asarray(T.subtract_ref_expr(obj.expr, means, use_bounds=True))
+        keep_genes = np.arange(obj.num_genes)
+    else:
+        keep_genes = zscore_gene_filter(obj, z_score_filter)
+        expr = obj.expr[:, keep_genes]
 
     res: Dict[str, dict] = {"hc": {}, "subclusters": {}}
     rng = np.random.default_rng(seed)
@@ -267,9 +321,13 @@ def define_tumor_subclusters(
                 leiden_function, seed + gi,
             )
         elif partition_method == "random_trees":
-            parts = _random_trees_recurse(idx, sub_expr, p_val, rng)
+            parts = _random_trees_recurse(idx, sub_expr, p_val, rng,
+                                          window_size=random_trees_window_size)
             subclusters = {f"{group}_s{i+1}": p for i, p in enumerate(parts)}
-            Z = ward_linkage(sub_expr) if idx.shape[0] > 2 else None
+            # the stored dendrogram is built on the smoothed, centered matrix
+            # (…random_smoothed_trees.R:71-77)
+            Z = (ward_linkage(runmean_median_center(sub_expr, random_trees_window_size))
+                 if idx.shape[0] > 2 else None)
         else:
             Z, subclusters = _single_tumor_hclust_subclustering(
                 group, idx, sub_expr, p_val, partition_method,

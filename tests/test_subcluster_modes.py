@@ -47,11 +47,67 @@ def test_hclust_cut_methods(method, rng):
 def test_random_trees_partitions_distinct_populations(rng):
     obj = make_obj(rng)
     define_tumor_subclusters(obj, partition_method="random_trees",
-                             z_score_filter=0, p_val=0.05, seed=1)
+                             z_score_filter=0, p_val=0.05, seed=1,
+                             random_trees_window_size=11)
     subs = obj.tumor_subclusters["subclusters"]["tumor"]
     assert len(subs) >= 2  # the two planted populations separate
     allidx = np.sort(np.concatenate(list(subs.values())))
     np.testing.assert_array_equal(allidx, np.arange(20, 60))
+
+
+def test_random_trees_runmean_preprocessing():
+    """The pre-smoothing matches caTools::runmean(k, endrule='mean') +
+    median centering (reference …random_smoothed_trees.R:71-73): literal
+    truncated-window transcription vs the vectorized implementation."""
+    from infercnv_tpu.subcluster.partition import runmean_median_center
+
+    rng2 = np.random.default_rng(3)
+    x = rng2.normal(size=(4, 25))
+    k = 7
+    h = (k - 1) // 2
+    expected = np.empty_like(x)
+    for c in range(x.shape[0]):
+        for i in range(x.shape[1]):
+            lo, hi = max(0, i - h), min(x.shape[1] - 1, i + h)
+            expected[c, i] = x[c, lo:hi + 1].mean()
+    expected -= np.median(expected, axis=1, keepdims=True)
+    np.testing.assert_allclose(runmean_median_center(x, k), expected, atol=1e-12)
+
+
+def test_random_trees_depth_and_min_size_limits():
+    """max_recursion_depth=3 and min_cluster_size_recurse=10 are honored
+    (reference …random_smoothed_trees.R:1-2, :130-211): a deeply nested
+    planted hierarchy stops splitting at depth 3, and subclusters below 10
+    cells never recurse."""
+    from infercnv_tpu.subcluster.partition import _random_trees_recurse
+
+    rng2 = np.random.default_rng(11)
+    # 4-level binary hierarchy: 64 cells, signal strength decays by level so
+    # each level is individually significant
+    n, G = 64, 120
+    x = rng2.normal(0, 0.05, (n, G))
+    for level, scale in [(1, 4.0), (2, 2.0), (3, 1.0), (4, 0.5)]:
+        block = n >> level
+        for b in range(1 << level):
+            if b % 2:
+                sl = slice(b * block, (b + 1) * block)
+                x[sl, (level - 1) * 30:(level) * 30] += scale
+    idx = np.arange(n)
+    parts = _random_trees_recurse(idx, x, p_val=0.1,
+                                  rng=np.random.default_rng(0),
+                                  window_size=5)
+    # depth cap -> at most 2^3 = 8 leaves even though 16 exist in the data
+    assert 2 <= len(parts) <= 8
+    # min-size: all leaves that were split into came from >= 10-cell parents
+    assert sorted(np.concatenate(parts).tolist()) == list(range(n))
+
+    # a group smaller than min_cluster_size_recurse is never split
+    small = _random_trees_recurse(np.arange(8), x[:8], p_val=1.0,
+                                  rng=np.random.default_rng(0), window_size=5,
+                                  min_cluster_size_recurse=10)
+    # cutting happens (p_val=1 always significant) but pieces < 10 cells stop
+    for leaf in small:
+        assert leaf.size <= 8
 
 
 def test_split_references(rng):
