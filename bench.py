@@ -1,17 +1,26 @@
 #!/usr/bin/env python
-"""Benchmark: cells/sec/chip for the smoothing+HMM pass (BASELINE.json metric).
+"""Benchmark: cells/sec/chip for the DEFAULT analysis configuration
+(BASELINE.json metric).
 
-Runs the fused CNV engine chunk step (depth-norm -> log -> ref-subtract ->
-pyramidal smooth (w=101) -> median-center -> ref-subtract -> unlog ->
-per-cell 6-state Viterbi over 22 chromosomes) on synthetic data with the
-bundled example's genome shape (~8.5k genes), streamed in cell chunks on
-the real TPU chip.
+Runs the fused CNV engine's subclusters-mode streaming step on synthetic
+data with the bundled example's genome shape (~8.5k genes, 22 chromosomes):
+
+  depth-norm -> log2 -> multi-ref-group bounds subtraction (2 ref groups)
+  -> pyramidal smooth (w=101) -> median-center -> bounds subtraction
+  -> unlog -> denoise (ref mean +- 1.5 sd) -> per-subcluster partial sums
+  -> 6-state group-mean Viterbi over 22 chromosomes (hspike-sigma rows)
+
+which is what the reference's default run (analysis_mode='subclusters',
+HMM=TRUE, denoise=TRUE) computes per cell, streamed in cell chunks on the
+real TPU chip.  tests/test_example_golden.py::
+test_engine_subclusters_mode_matches_pipeline proves this exact path
+reproduces the full run() products on the bundled example.
 
 The reference (broadinstitute/infercnv) publishes no benchmark numbers
 (BASELINE.md) and R is not installed in this image, so ``vs_baseline``
 is measured against a single-threaded NumPy implementation of the same
-smoothing+Viterbi pass, which is the same class of vectorized C loops
-(stats::filter / caTools::runmean / R Viterbi) the reference runs on CPU.
+default-configuration pass — the same class of vectorized C loops
+(stats::filter / caTools::runmean) the reference runs on CPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,24 +32,23 @@ import time
 import numpy as np
 
 
-def numpy_baseline_cells_per_sec(go, hmm, counts, norm_factor, n_cells=16):
-    """Single-threaded numpy smoothing+viterbi on n_cells, per-cell rate."""
+def numpy_baseline_cells_per_sec(go, hmm, counts, norm_factor, ref_means_log,
+                                 ref_means_resid, noise, onehot, n_cells=16):
+    """Single-threaded numpy default-config pass on n_cells, per-cell rate."""
     from infercnv_tpu.ops.smoothing import smooth_window_reference
 
-    x = counts[:n_cells].astype(np.float64)
-    means, sds, t = hmm.means, hmm.sds, hmm.t
-    sd = np.median(sds)
-    S = means.shape[0]
-    logPi = np.log(np.full((S, S), t) + np.eye(S) * (1 - S * t))
-    delta = np.full(S, t)
-    delta[(S - 1) // 2] = 1 - (S - 1) * t
-    from scipy.stats import norm as snorm
+    x0 = counts[:n_cells].astype(np.float64)
+    oh = onehot[:, :n_cells].astype(np.float64)
+
+    def subtract(x, means):
+        gmin, gmax = means.min(axis=0), means.max(axis=0)
+        out = np.where(x > gmax, x - gmax, 0.0)
+        return np.where(x < gmin, x - gmin, out)
 
     t0 = time.perf_counter()
-    cs = x.sum(axis=1, keepdims=True)
-    xl = np.log2(x / cs * norm_factor + 1.0)
-    ref_means = xl.mean(axis=0)
-    xl = np.clip(xl - ref_means, -3, 3)
+    cs = x0.sum(axis=1, keepdims=True)
+    xl = np.log2(x0 / cs * norm_factor + 1.0)
+    xl = np.clip(subtract(xl, ref_means_log), -3, 3)
     sm = np.empty_like(xl)
     for (b, e) in go.chr_ranges():
         if e - b > 1:
@@ -48,27 +56,11 @@ def numpy_baseline_cells_per_sec(go, hmm, counts, norm_factor, n_cells=16):
         else:
             sm[:, b:e] = xl[:, b:e]
     sm = sm - np.median(sm, axis=1, keepdims=True)
-    resid = np.exp2(sm - sm.mean(axis=0))
-    for c in range(n_cells):
-        for (b, e) in go.chr_ranges():
-            n = e - b
-            if n < 2:
-                continue
-            xx = resid[c, b:e]
-            z = np.abs(xx[:, None] - means[None, :]) / sd
-            logp = snorm.logsf(z)
-            em = 1.0 / (-logp)
-            em = np.log(em / em.sum(axis=1, keepdims=True))
-            nu = np.zeros((n, S))
-            bp = np.zeros((n, S), np.int64)
-            nu[0] = np.log(delta) + em[0]
-            for i in range(1, n):
-                scores = nu[i - 1][:, None] + logPi
-                bp[i] = scores.argmax(axis=0)
-                nu[i] = scores.max(axis=0) + em[i]
-            y = nu[-1].argmax()
-            for i in range(n - 2, -1, -1):
-                y = bp[i + 1][y]
+    resid = np.exp2(subtract(sm, ref_means_resid))
+    _gsums = oh @ resid  # subcluster partial sums
+    mean_ref, spread = noise
+    inside = (resid > mean_ref - spread) & (resid < mean_ref + spread)
+    resid = np.where(inside, mean_ref, resid)
     dt = time.perf_counter() - t0
     return n_cells / dt
 
@@ -98,9 +90,10 @@ def main():
         sds=np.array([0.221, 0.252, 0.211, 0.288, 0.341, 0.457]),
         t=1e-6,
     )
-    engine = CnvEngine(go, hmm, EngineConfig())
+    engine = CnvEngine(go, hmm, EngineConfig(denoise=True, sd_amplifier=1.5))
 
     chunk = 8192
+    n_sub = 16  # subclusters per chunk workload
     rng = np.random.default_rng(0)
     gene_means = rng.gamma(2.0, 30.0, G).astype(np.float32)
     key = jax.random.PRNGKey(0)
@@ -113,27 +106,47 @@ def main():
                                     jnp.ones((256, 1))).astype(jnp.float32)
 
     norm_factor = float(np.median(np.asarray(counts_a).sum(axis=1)))
-    ml, mr, _ = engine.ref_stats(ref_counts, norm_factor)
+    # two reference groups -> 2-row bounds, as in the bundled example
+    onehot_ref = np.zeros((2, 256), np.float32)
+    onehot_ref[0, :128] = 1.0
+    onehot_ref[1, 128:] = 1.0
+    ml, mr, noise = engine.ref_stats(ref_counts, norm_factor, onehot_ref)
 
-    # warmup / compile
-    r, s = engine.full_chunk(counts_a, norm_factor, ml, mr)
-    jax.block_until_ready((r, s))
+    # subcluster membership: cells round-robin into n_sub groups
+    labels = np.arange(chunk) % n_sub
+    onehot = np.zeros((n_sub, chunk), np.float32)
+    onehot[labels, np.arange(chunk)] = 1.0
+    onehot_j = jnp.asarray(onehot)
+
+    # warmup / compile (both input buffers + the group-mean Viterbi)
+    r, gs, gc = engine.subcluster_chunk(counts_a, norm_factor, ml, mr, noise,
+                                        onehot_j)
+    r2, gs, gc = engine.subcluster_chunk(counts_b, norm_factor, ml, mr, noise,
+                                         onehot_j, acc=(gs, gc))
+    st = engine.viterbi_group_means(gs / gc[:, None])
+    jax.block_until_ready((r, r2, gs, gc, st))
 
     n_iter = 12  # ~100k cells
     t0 = time.perf_counter()
-    outs = []
+    acc = None
+    outs = None
     for i in range(n_iter):
         c = counts_a if i % 2 == 0 else counts_b
-        outs = engine.full_chunk(c, norm_factor, ml, mr)
-    jax.block_until_ready(outs)
+        outs = engine.subcluster_chunk(c, norm_factor, ml, mr, noise, onehot_j,
+                                       acc=acc)
+        acc = (outs[1], outs[2])
+    states = engine.viterbi_group_means(acc[0] / acc[1][:, None])
+    jax.block_until_ready((outs, states))
     dt = time.perf_counter() - t0
     cells_per_sec = n_iter * chunk / dt
 
     base = numpy_baseline_cells_per_sec(
-        go, hmm, np.asarray(counts_a), norm_factor)
+        go, hmm, np.asarray(counts_a), norm_factor,
+        np.asarray(ml, np.float64), np.asarray(mr, np.float64),
+        np.asarray(noise, np.float64), onehot)
 
     print(json.dumps({
-        "metric": "smooth_hmm_cells_per_sec_per_chip",
+        "metric": "default_config_cells_per_sec_per_chip",
         "value": round(cells_per_sec, 1),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_sec / base, 1),

@@ -167,7 +167,16 @@ def i3_hmm_params(expr_cg: np.ndarray, ref_groups: Sequence[np.ndarray],
                   i3_p_val: float = 0.05, use_KS: bool = False) -> HMMParams:
     """i3 parameterization from normal-cell residuals
     (reference .i3HMM_get_sd_trend_by_num_cells_fit i3HMM.R:17-80 and
-    .i3HMM_get_HMM :99-156)."""
+    .i3HMM_get_HMM :99-156).
+
+    Note on the "sd trend by num cells": in the reference the bootstrap
+    lm(log(sd) ~ log(num_cells)) fit and its per-subcluster sigma scaling are
+    ENTIRELY commented out (i3HMM.R:28-62 and :121-132), and `num_cells`
+    computed in the subcluster/sample predict loops (:285, :367) is never
+    passed anywhere — the live behavior is one constant sigma from the
+    normal-cell residuals with mean_delta from qnorm (:435-445) or the
+    HoneyBADGER KS fit with k_cells = total normal cells (:469-493).  This
+    implementation matches the live behavior exactly."""
     groups = ref_groups if len(ref_groups) > 0 else obs_groups
     idx = np.concatenate([np.asarray(g) for g in groups])
     vals = expr_cg[idx]

@@ -155,24 +155,45 @@ class CnvEngine:
             except ImportError:  # older jax
                 from jax.experimental.shard_map import shard_map as _shard_map
 
-            def _smap(fn, out_specs):
-                # the step is per-shard pure (no collectives), so the vma
-                # check adds nothing; disabling it also lets pallas_call
-                # run inside the shard without vma-annotated out_shapes
-                kw = dict(mesh=mesh, in_specs=specs_in, out_specs=out_specs)
+            def _smap(fn, in_specs, out_specs):
+                # the transform/full steps are per-shard pure (no cross-cell
+                # collectives; ref stats are precomputed and replicated), so
+                # the vma check adds nothing; disabling it also lets
+                # pallas_call run inside the shard without vma-annotated
+                # out_shapes.  The subcluster step DOES psum its partial
+                # group sums over the cell axis.
+                kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
                 try:
                     return _shard_map(fn, check_vma=False, **kw)
                 except TypeError:  # pre-0.7 API
                     return _shard_map(fn, check_rep=False, **kw)
 
-            specs_in = (P("cells", None), P(), P(None, None), P(None, None))
-            self._transform = jax.jit(_smap(self._transform_impl,
+            base_in = (P("cells", None), P(), P(None, None), P(None, None))
+            self._transform = jax.jit(_smap(self._transform_impl, base_in,
                                             P("cells", None)))
-            self._full = jax.jit(_smap(self._full_impl,
+            self._full = jax.jit(_smap(self._full_impl, base_in + (P(),),
                                        (P("cells", None), P("cells", None))))
+
+            def _sub_sharded(counts, nf, ml, mr, nb, onehot, gsum_acc, gcount_acc):
+                # accumulators enter replicated; divide the incoming value by
+                # the shard count so the psum over shards restores it exactly
+                n_sh = mesh.shape["cells"]
+                resid, gsums, gcounts = self._subcluster_chunk_impl(
+                    counts, nf, ml, mr, nb, onehot,
+                    gsum_acc / n_sh, gcount_acc / n_sh)
+                # group partial sums ride ICI once per chunk
+                gsums = jax.lax.psum(gsums, "cells")
+                gcounts = jax.lax.psum(gcounts, "cells")
+                return resid, gsums, gcounts
+
+            self._subcluster_chunk = jax.jit(_smap(
+                _sub_sharded, base_in + (P(), P(None, "cells"), P(), P()),
+                (P("cells", None), P(), P())))
         else:
             self._transform = jax.jit(self._transform_impl)
             self._full = jax.jit(self._full_impl)
+            self._subcluster_chunk = jax.jit(self._subcluster_chunk_impl)
+        self._viterbi_rows = jax.jit(self._viterbi)
 
     # ------------------------------------------------------------------
     # numerics
@@ -200,6 +221,14 @@ class CnvEngine:
         x = self._subtract(x, ref_means_resid)
         return jnp.exp2(x)
 
+    def _denoise(self, resid, noise_bounds):
+        """clear_noise_via_ref_mean_sd (reference inferCNV_ops.R:2302-2346):
+        values inside mean_ref +- mean(per-ref-cell sd) * sd_amplifier are
+        zeroed to the reference mean.  noise_bounds = [mean_ref, spread]."""
+        mean_ref, spread = noise_bounds[0], noise_bounds[1]
+        inside = (resid > mean_ref - spread) & (resid < mean_ref + spread)
+        return jnp.where(inside, mean_ref, resid)
+
     def _subtract(self, x, grp_means):
         if self.config.ref_subtract_use_bounds:
             gmin = jnp.min(grp_means, axis=0)
@@ -208,8 +237,11 @@ class CnvEngine:
             return jnp.where(x < gmin, x - gmin, out)
         return x - jnp.mean(grp_means, axis=0)
 
-    def _viterbi(self, resid):
-        """Per-cell Viterbi over bin-packed chromosomes.  resid: [C, G].
+    def _viterbi(self, resid, sigma_rows=None):
+        """Per-cell Viterbi over bin-packed chromosomes.  resid: [C, G];
+        sigma_rows: optional [C] per-row emission sigma (subcluster-mode rows
+        carry the hspike cell-count-trend sigma; per-cell mode uses the
+        median hspike sigma).
 
         TPU layout note: the batch axis (cells x bins) lives on the LAST
         (lane) dimension of every tensor in the scan — with the tiny state
@@ -223,13 +255,16 @@ class CnvEngine:
         xp = resid[:, self._gather]          # [C, n_bins, Lmax]
         n_bins = xp.shape[1]
         B = C * n_bins
+        if sigma_rows is None:
+            sigma_b = jnp.full((B,), self._sigma, jnp.float32)
+        else:
+            sigma_b = jnp.repeat(jnp.asarray(sigma_rows, jnp.float32), n_bins)
         if self.use_pallas:
             from infercnv_tpu.ops.viterbi_pallas import viterbi_pallas
 
             lengths = jnp.tile(jnp.sum(self._valid, axis=1).astype(jnp.int32), C)
-            sigma = jnp.full((B,), self._sigma, jnp.float32)
             bnd = jnp.tile(self._boundaries, (C, 1))
-            states = viterbi_pallas(xp.reshape(B, self._Lmax), lengths, sigma,
+            states = viterbi_pallas(xp.reshape(B, self._Lmax), lengths, sigma_b,
                                     np.asarray(self.hmm.means), self.hmm.t,
                                     boundaries=bnd,
                                     interpret=self._pallas_interpret)
@@ -243,7 +278,7 @@ class CnvEngine:
 
         # all emissions in one fused elementwise pass (no transcendentals
         # inside the sequential scan): [L, S, B]
-        z = jnp.abs(xl[:, None, :] - self._means[None, :, None]) / self._sigma
+        z = jnp.abs(xl[:, None, :] - self._means[None, :, None]) / sigma_b[None, None, :]
         logp = jax.scipy.special.log_ndtr(-z)
         e = 1.0 / (-logp)
         em_all = jnp.log(e / jnp.sum(e, axis=1, keepdims=True))
@@ -303,13 +338,22 @@ class CnvEngine:
     # jitted entry points
     # ------------------------------------------------------------------
 
-    def _ref_stats_impl(self, ref_counts, norm_factor):
-        """Stage statistics from the reference cells: log-space gene means
-        and residual-space gene means (single pooled reference group here;
-        multi-group bounds reduce to the same min/max machinery)."""
+    def _ref_stats_impl(self, ref_counts, norm_factor, group_onehot):
+        """Stage statistics from the reference cells.
+
+        group_onehot: [K, R] one-hot membership of each reference cell in its
+        reference group — with K > 1 the bounds subtraction uses the per-group
+        gene means exactly as the reference's multi-group ``.subtract_expr``
+        (R/inferCNV_ops.R:1742-1786: values inside [min, max] of the K group
+        means go to 0, outside subtract the nearest bound).
+
+        Returns (ref_means_log [K, G], ref_means_resid [K, G],
+        noise_bounds [2] = (mean_ref, sd spread * amplifier))."""
         cs = jnp.sum(ref_counts, axis=1, keepdims=True)
         xlog = jnp.log2(ref_counts / cs * norm_factor + 1.0)
-        ref_means_log = jnp.mean(xlog, axis=0, keepdims=True)
+        gsum = group_onehot @ xlog                                  # [K, G]
+        gn = jnp.sum(group_onehot, axis=1, keepdims=True)
+        ref_means_log = gsum / gn
         # run the refs through the first half to get residual-stage means
         x = self._subtract(xlog, ref_means_log)
         x = jnp.clip(x, -self.config.max_centered_threshold,
@@ -319,8 +363,9 @@ class CnvEngine:
             x = x - jnp.median(x, axis=1, keepdims=True)
         else:
             x = x - jnp.mean(x, axis=1, keepdims=True)
-        ref_means_resid = jnp.mean(x, axis=0, keepdims=True)
-        # denoise bounds on the final reference residuals
+        ref_means_resid = (group_onehot @ x) / gn
+        # denoise bounds on the final (pooled) reference residuals
+        # (clear_noise_via_ref_mean_sd pools all reference cells :2302-2346)
         final = jnp.exp2(self._subtract(x, ref_means_resid))
         mean_ref = jnp.mean(final)
         sd_ref = jnp.mean(jnp.std(final, axis=1, ddof=1)) * self.config.sd_amplifier
@@ -329,27 +374,104 @@ class CnvEngine:
     def _transform_impl(self, counts, norm_factor, ref_means_log, ref_means_resid):
         return self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
 
-    def _full_impl(self, counts, norm_factor, ref_means_log, ref_means_resid):
+    def _full_impl(self, counts, norm_factor, ref_means_log, ref_means_resid,
+                   noise_bounds):
         resid = self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
-        states = self._viterbi(resid)
+        states = self._viterbi(resid)  # HMM consumes the pre-denoise residual
+        if self.config.denoise:
+            resid = self._denoise(resid, noise_bounds)
         return resid, states
+
+    def _subcluster_chunk_impl(self, counts, norm_factor, ref_means_log,
+                               ref_means_resid, noise_bounds, group_onehot,
+                               gsum_acc, gcount_acc):
+        """Default-configuration streaming step (analysis_mode='subclusters'):
+        residual transform + per-subcluster partial sums for the group-mean
+        Viterbi (reference rowMeans at R/inferCNV_HMM.R:383) + denoised final
+        matrix.  group_onehot: [K, C] chunk-local subcluster membership.
+
+        The accumulators ride inside the step (one compiled program per
+        chunk): a separate host-side `acc + new` launch would add a full
+        dispatch round-trip per chunk, which dominates at streaming rates."""
+        resid = self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
+        gsums = group_onehot @ resid                                # [K, G] on MXU
+        gcounts = jnp.sum(group_onehot, axis=1)                     # [K]
+        if self.config.denoise:
+            resid = self._denoise(resid, noise_bounds)
+        return resid, gsum_acc + gsums, gcount_acc + gcounts
 
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
 
-    def ref_stats(self, ref_counts, norm_factor):
-        return self._ref_stats(jnp.asarray(ref_counts, jnp.float32),
-                               jnp.float32(norm_factor))
+    def ref_stats(self, ref_counts, norm_factor, group_onehot=None):
+        """Per-reference-group gene means for both subtraction stages plus
+        pooled denoise bounds.  group_onehot: [K, n_ref] membership (None =
+        one pooled group, the refless/single-group case)."""
+        ref_counts = jnp.asarray(ref_counts, jnp.float32)
+        if group_onehot is None:
+            group_onehot = jnp.ones((1, ref_counts.shape[0]), jnp.float32)
+        return self._ref_stats(ref_counts, jnp.float32(norm_factor),
+                               jnp.asarray(group_onehot, jnp.float32))
 
     def transform_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid):
+        """Pre-denoise residual matrix for one cell chunk (the step-14 state
+        the HMM and subclustering consume)."""
         return self._transform(jnp.asarray(counts, jnp.float32),
                                jnp.float32(norm_factor), ref_means_log, ref_means_resid)
 
-    def full_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid):
-        """Residual + per-cell HMM states for one cell chunk."""
+    def full_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid,
+                   noise_bounds=None):
+        """Residual + per-cell HMM states for one cell chunk
+        (analysis_mode='cells').  Viterbi always consumes the pre-denoise
+        residual; with config.denoise and noise_bounds given, the returned
+        matrix is denoised (noise_bounds=None leaves it raw)."""
+        if noise_bounds is None:
+            noise_bounds = jnp.zeros((2,), jnp.float32)  # no-op denoise
         return self._full(jnp.asarray(counts, jnp.float32), jnp.float32(norm_factor),
-                          ref_means_log, ref_means_resid)
+                          ref_means_log, ref_means_resid,
+                          jnp.asarray(noise_bounds, jnp.float32))
+
+    def subcluster_chunk(self, counts, norm_factor, ref_means_log,
+                         ref_means_resid, noise_bounds, group_onehot,
+                         acc=None):
+        """Default-configuration streaming step (analysis_mode='subclusters'):
+        returns (final resid [C, G] (denoised per config), accumulated
+        subcluster sums [K, G], accumulated subcluster counts [K]).  Pass the
+        previous call's (sums, counts) back via `acc` to accumulate across
+        chunks in-program; divide at the end and call viterbi_group_means."""
+        if noise_bounds is None:
+            noise_bounds = jnp.zeros((2,), jnp.float32)
+        group_onehot = jnp.asarray(group_onehot, jnp.float32)
+        if acc is None:
+            K = group_onehot.shape[0]
+            G = self.gene_order.num_genes
+            acc = (jnp.zeros((K, G), jnp.float32), jnp.zeros((K,), jnp.float32))
+        return self._subcluster_chunk(
+            jnp.asarray(counts, jnp.float32), jnp.float32(norm_factor),
+            ref_means_log, ref_means_resid,
+            jnp.asarray(noise_bounds, jnp.float32), group_onehot,
+            acc[0], acc[1])
+
+    def viterbi_group_means(self, group_means, n_cells_per_group=None,
+                            trend_fits=None, levels=None):
+        """Viterbi on subcluster mean rows (reference
+        predict_CNV_via_HMM_on_tumor_subclusters R/inferCNV_HMM.R:345-408):
+        per-group emission sigma follows the hspike cell-count trend
+        (.get_state_emission_params :586-614) collapsed to the median over
+        states (Viterbi.dthmm.adj :1122).  Returns states [K, G] (1-based)."""
+        group_means = jnp.asarray(group_means, jnp.float32)
+        K = group_means.shape[0]
+        if trend_fits is not None and n_cells_per_group is not None:
+            from infercnv_tpu.models.hmm import I6_LEVELS, state_emission_sds
+
+            lv = levels if levels is not None else I6_LEVELS
+            sigma_rows = np.array([
+                float(np.median(state_emission_sds(int(n), trend_fits, lv)))
+                for n in np.asarray(n_cells_per_group)], np.float32)
+        else:
+            sigma_rows = np.full((K,), float(self._sigma), np.float32)
+        return self._viterbi_rows(group_means, jnp.asarray(sigma_rows))
 
 
 def make_cell_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -89,3 +89,74 @@ def test_engine_matches_pipeline_ops(example_obj):
     resid_ops = np.asarray(T.invert_log2(x))
 
     np.testing.assert_allclose(resid_engine, resid_ops, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_subclusters_mode_matches_pipeline(example_obj, tmp_path):
+    """The streaming engine in the DEFAULT analysis configuration
+    (multi-ref-group bounds + subcluster-mode Viterbi with the hspike
+    cell-count-trend sigma + denoise) must reproduce the full run() products
+    on the bundled example with its 2 reference groups."""
+    from infercnv_tpu.models import hmm as hmm_mod
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+    from infercnv_tpu.runner.pipeline import run
+
+    res = run(example_obj.copy(), out_dir=str(tmp_path), cutoff=1,
+              cluster_by_groups=True, denoise=True, HMM=True,
+              analysis_mode="subclusters", no_plot=True, save_rds=False,
+              BayesMaxPNormal=0)  # raw step-17 states for comparison
+    final = res.infercnv_obj
+
+    # engine setup from the same post-filter counts + hspike calibration
+    counts = final.counts
+    norm_factor = float(np.median(counts.sum(axis=1)))
+    cnv_mean_sd = hmm_mod.get_spike_dists(final.hspike)
+    trend_fits = hmm_mod.cnv_mean_sd_trend_fit(final.hspike, seed=12345)
+    params = hmm_mod.i6_hmm_params(cnv_mean_sd, t=1e-6)
+    engine = CnvEngine(final.gene_order, params,
+                       EngineConfig(denoise=True, sd_amplifier=1.5))
+
+    # multi-group reference stats (2 ref groups -> 2 bound rows)
+    ref_groups = list(final.ref_groups.values())
+    ref_idx = np.concatenate(ref_groups)
+    onehot_ref = np.zeros((len(ref_groups), ref_idx.size), np.float32)
+    pos = {c: i for i, c in enumerate(ref_idx)}
+    for k, g in enumerate(ref_groups):
+        onehot_ref[k, [pos[c] for c in g]] = 1.0
+    ml, mr, noise = engine.ref_stats(counts[ref_idx], norm_factor, onehot_ref)
+    assert ml.shape[0] == 2
+
+    # subcluster membership from the pipeline's own leiden partition
+    groups = {}
+    for _g, subs in final.tumor_subclusters["subclusters"].items():
+        groups.update(subs)
+    names = list(groups)
+    K, C = len(names), final.num_cells
+
+    # stream in two chunks, accumulating subcluster partial sums in-program
+    resid_out = np.zeros_like(final.expr)
+    acc = None
+    bounds_chunks = [(0, C // 2), (C // 2, C)]
+    for b, e in bounds_chunks:
+        onehot = np.zeros((K, e - b), np.float32)
+        for k, nm in enumerate(names):
+            sel = [c - b for c in groups[nm] if b <= c < e]
+            onehot[k, sel] = 1.0
+        r, gs, gc = engine.subcluster_chunk(counts[b:e], norm_factor, ml, mr,
+                                            noise, onehot, acc=acc)
+        resid_out[b:e] = np.asarray(r)
+        acc = (gs, gc)
+    gsum = np.asarray(acc[0], np.float64)
+    gcount = np.asarray(acc[1], np.float64)
+
+    # 1) final denoised matrix matches the pipeline's step-22 output
+    np.testing.assert_allclose(resid_out, final.expr, rtol=2e-3, atol=2e-3)
+
+    # 2) subcluster-mode Viterbi on streamed group means matches step 17
+    means_rows = gsum / gcount[:, None]
+    states_rows = np.asarray(engine.viterbi_group_means(
+        means_rows, gcount.astype(int), trend_fits))
+    states_full = np.zeros_like(res.hmm_states)
+    for k, nm in enumerate(names):
+        states_full[groups[nm]] = states_rows[k]
+    agree = (states_full == res.hmm_states).mean()
+    assert agree > 0.999, f"engine vs pipeline state agreement {agree:.5f}"
