@@ -69,6 +69,69 @@ def test_states_detect_planted_cnv(problem):
     assert (states[:16] == 3).mean() > 0.9
 
 
+def test_sharded_equals_unsharded_realistic_genome():
+    """Full-scale sharding equality: 22 chromosomes / ~8.4k genes / 1024
+    cells (the bundled example's genome shape), default configuration
+    (2 ref groups, denoise, subcluster accumulation) — sharded over 8
+    devices vs single-device, bitwise states and matching group sums."""
+    rng = np.random.default_rng(5)
+    n_chr = 22
+    sizes = np.linspace(800, 120, n_chr).astype(int)
+    sizes = (sizes / sizes.sum() * 8448).astype(int)
+    sizes[0] += 8448 - sizes.sum()
+    G = int(sizes.sum())
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=tuple(f"chr{i+1}" for i in range(n_chr)),
+        chr_ids=np.repeat(np.arange(n_chr), sizes).astype(np.int32),
+        start=np.arange(G), stop=np.arange(G),
+    )
+    hmm = HMMParams(
+        means=np.array([0.135, 0.631, 1.0, 1.346, 1.702, 2.237]),
+        sds=np.array([0.221, 0.252, 0.211, 0.288, 0.341, 0.457]),
+        t=1e-6,
+    )
+    C = 1024
+    lam = rng.gamma(2.0, 30.0, G)[None, :] * np.ones((C, 1))
+    chr2 = go.chr_gene_indices("chr2")
+    chr5 = go.chr_gene_indices("chr5")
+    lam[C // 2:, chr2] *= 0.5   # planted deletion in tumor half
+    lam[C // 2:, chr5] *= 2.0   # planted amplification
+    counts = rng.poisson(lam).astype(np.float32)
+    norm_factor = float(np.median(counts.sum(axis=1)))
+    ref_idx = np.arange(C // 2)
+    onehot_ref = np.zeros((2, ref_idx.size), np.float32)
+    onehot_ref[0, : ref_idx.size // 2] = 1.0
+    onehot_ref[1, ref_idx.size // 2:] = 1.0
+    onehot = np.zeros((2, C), np.float32)
+    onehot[0, :C // 2] = 1.0
+    onehot[1, C // 2:] = 1.0
+    cfg = EngineConfig(denoise=True)
+
+    plain = CnvEngine(go, hmm, cfg)
+    ml, mr, noise = plain.ref_stats(counts[ref_idx], norm_factor, onehot_ref)
+    r0, s0 = plain.full_chunk(counts, norm_factor, ml, mr, noise)
+    _, g0, c0 = plain.subcluster_chunk(counts, norm_factor, ml, mr, noise, onehot)
+
+    mesh = make_cell_mesh(8)
+    sharded = CnvEngine(go, hmm, cfg, mesh=mesh)
+    counts_sh = jax.device_put(jnp.asarray(counts),
+                               NamedSharding(mesh, P("cells", None)))
+    r1, s1 = sharded.full_chunk(counts_sh, norm_factor, ml, mr, noise)
+    _, g1, c1 = sharded.subcluster_chunk(counts_sh, norm_factor, ml, mr,
+                                         noise, onehot)
+
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    np.testing.assert_array_equal(s0, s1)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=0, atol=0)
+    # non-trivial biology: the planted CNVs are called
+    assert (s1[C // 2:][:, chr2] < 3).mean() > 0.7
+    assert (s1[C // 2:][:, chr5] > 3).mean() > 0.7
+    assert (s1[:C // 2] == 3).mean() > 0.9
+
+
 def test_sharded_group_stats_match_numpy(rng):
     from infercnv_tpu.ops.transforms import group_onehot
     from infercnv_tpu.parallel.stats import (
