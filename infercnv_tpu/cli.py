@@ -174,6 +174,7 @@ def main(argv=None) -> int:
         ref_group_names=[g for g in args.ref_group_names.split(",") if g],
         chr_exclude=tuple(c for c in args.chr_exclude.split(",") if c),
         max_cells_per_group=args.max_cells_per_group,
+        sep=args.delim,
     )
     res = run(
         obj,
@@ -243,6 +244,12 @@ def main(argv=None) -> int:
         plot_chr_scale=args.plot_chr_scale,
         up_to_step=args.up_to_step,
         seed=args.seed,
+        title=args.title,
+        title_obs=args.title_obs,
+        title_ref=args.title_ref,
+        contig_lab_size=args.contig_lab_size,
+        color_safe=args.color_safe,
+        dynamic_resize=args.dynamic_resize,
     )
 
     if args.ngchm:

@@ -143,9 +143,10 @@ def load_infercnv_object(
     chr_exclude: Sequence[str] = ("chrX", "chrY", "chrM"),
     min_max_counts_per_cell: Tuple[float, float] = (100.0, float("inf")),
     max_cells_per_group=None,
+    sep: str = "\t",
 ) -> InferCNV:
     """One-call ingestion mirroring CreateInfercnvObject on file paths."""
-    mat, gene_names, cell_names = read_counts_matrix(counts_path)
+    mat, gene_names, cell_names = read_counts_matrix(counts_path, sep=sep)
     table, chr_order = read_gene_order_file(gene_order_path)
     ann = read_annotations_file(annotations_path)
     return create_infercnv_object(

@@ -101,6 +101,13 @@ class RunConfig:
     output_format: str = "png"
     plot_chr_scale: bool = False
     chr_lengths: Optional[Sequence[int]] = None
+    # plot cosmetics (reference plot_cnv args mirrored through the CLI)
+    title: str = "inferCNV"
+    title_obs: str = "Observations (Cells)"
+    title_ref: str = "References (Cells)"
+    contig_lab_size: int = 6
+    color_safe: bool = False
+    dynamic_resize: float = 0.0
     useRaster: bool = True
 
     up_to_step: int = 100

@@ -627,7 +627,12 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             from infercnv_tpu.viz.heatmap import plot_cnv
 
             plot_cnv(obj, out_dir=cfg.out_dir, output_filename="infercnv",
-                     title="inferCNV",
+                     title=cfg.title,
+                     obs_title=cfg.title_obs,
+                     ref_title=cfg.title_ref,
+                     contig_lab_size=cfg.contig_lab_size,
+                     color_safe_pal=cfg.color_safe,
+                     dynamic_resize=cfg.dynamic_resize,
                      k_obs_groups=cfg.k_obs_groups,
                      cluster_by_groups=cfg.cluster_by_groups,
                      cluster_references=cfg.cluster_references,

@@ -163,8 +163,14 @@ def plot_cnv(
     contig_lab_size: int = 6,
     obs_title: str = "Observations (Cells)",
     ref_title: str = "References (Cells)",
+    dynamic_resize: float = 0.0,
 ) -> Optional[str]:
-    """Render the heatmap; returns the output image path."""
+    """Render the heatmap; returns the output image path.
+
+    dynamic_resize (reference inferCNV_heatmap.R:254-262): with > 200
+    observation cells, the figure height grows by
+    ``dynamic_resize * 3.6 * (nobs - 200) / 200`` inches so large runs keep
+    per-cell resolution."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -233,6 +239,9 @@ def plot_cnv(
     n_obs, n_ref = obs_idx.size, ref_idx.size
     have_ref = n_ref > 0
     fig_h = 8.0
+    if dynamic_resize and dynamic_resize > 0 and n_obs > 200:
+        fig_h += dynamic_resize * 3.6 * (n_obs - 200) / 200.0
+        fig_h = min(fig_h, 32767 / max(png_res, 1))  # cairo-style pixel cap
     ref_frac = min(0.35, max(0.12, n_ref / max(n_obs + n_ref, 1))) if have_ref else 0.0
     nrows = 3 if have_ref else 2
     fig = plt.figure(figsize=(11.6, fig_h))
@@ -332,10 +341,20 @@ def plot_cnv(
     if have_ref:
         dendro_panel(ax_ref_dend, ref_linkages, ref_group_sizes, n_ref)
 
-    sm = plt.cm.ScalarMappable(norm=norm, cmap=cmap)
-    cax = fig.add_axes([0.015, 0.35, 0.012, 0.3])
-    cbar = fig.colorbar(sm, cax=cax)
-    cbar.ax.tick_params(labelsize=6)
+    # color key with value-density histogram (the vendored heatmap.cnv key,
+    # reference inferCNV_heatmap.R:1461-1474, density.info='histogram')
+    kax = fig.add_axes([0.015, 0.82, 0.09, 0.1])
+    grad = np.linspace(lo, hi, 256)[None, :]
+    kax.imshow(grad, aspect="auto", cmap=cmap, norm=norm,
+               extent=(lo, hi, 0.0, 1.0))
+    counts, edges = np.histogram(data, bins=50, range=(lo, hi))
+    if counts.max() > 0:
+        dens = counts / counts.max()
+        kax.plot((edges[:-1] + edges[1:]) / 2, dens, color="cyan", lw=0.7)
+    kax.set_yticks([])
+    kax.set_xticks([lo, x_center, hi])
+    kax.tick_params(labelsize=5)
+    kax.set_title("Distribution of Expression", fontsize=5)
 
     ext = output_format if output_format in ("png", "pdf", "svg") else "png"
     out_path = os.path.join(out_dir, f"{output_filename}.{ext}")

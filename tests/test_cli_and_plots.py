@@ -1,0 +1,137 @@
+"""CLI end-to-end coverage (comma-delimited input, custom plot flags) and
+automated heatmap-rendering assertions (file structure + text outputs +
+dynamic_resize geometry), closing the 'visual check only' gap."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_pipeline import make_synthetic
+
+
+def _write_example_files(tmp_path, sep=","):
+    rng = np.random.default_rng(5)
+    G, C = 120, 24
+    genes = [f"g{i}" for i in range(G)]
+    cells = [f"c{i}" for i in range(C)]
+    counts = rng.poisson(rng.gamma(2.0, 40.0, G)[None, :] * np.ones((C, 1))).T
+    counts_path = tmp_path / "counts.csv"
+    with open(counts_path, "w") as f:
+        f.write(sep.join(cells) + "\n")
+        for gi, g in enumerate(genes):
+            f.write(g + sep + sep.join(str(int(v)) for v in counts[gi]) + "\n")
+    genes_path = tmp_path / "genes.txt"
+    with open(genes_path, "w") as f:
+        for i, g in enumerate(genes):
+            chrom = f"chr{i // 40 + 1}"
+            f.write(f"{g}\t{chrom}\t{i * 1000 + 1}\t{i * 1000 + 500}\n")
+    ann_path = tmp_path / "annots.txt"
+    with open(ann_path, "w") as f:
+        for i, c in enumerate(cells):
+            f.write(f"{c}\t{'normal' if i < 12 else 'tumor'}\n")
+    return counts_path, genes_path, ann_path
+
+
+def test_cli_e2e_comma_delim_and_plot_flags(tmp_path):
+    """--delim wires into the counts reader and --title/--contig_lab_size/
+    --color_safe/--dynamic_resize reach plot_cnv (previously parsed but
+    dead)."""
+    from infercnv_tpu.cli import main
+
+    counts_path, genes_path, ann_path = _write_example_files(tmp_path, sep=",")
+    out_dir = tmp_path / "out"
+    rc = main([
+        "--raw_counts_matrix", str(counts_path),
+        "--gene_order_file", str(genes_path),
+        "--annotations_file", str(ann_path),
+        "--ref_group_names", "normal",
+        "--out_dir", str(out_dir),
+        "--delim", ",",
+        "--cutoff", "1",
+        "--window_length", "21",
+        "--analysis_mode", "samples",
+        "--denoise",
+        "--no_save_rds",
+        "--title", "Custom Title",
+        "--contig_lab_size", "9",
+        "--color_safe",
+        "--dynamic_resize", "0.5",
+    ])
+    assert rc == 0
+    assert (out_dir / "infercnv.png").exists()
+    assert (out_dir / "infercnv.observation_groupings.txt").exists()
+    thresholds = (out_dir / "infercnv.heatmap_thresholds.txt").read_text().split()
+    assert len(thresholds) == 31
+
+
+def test_cli_rejects_wrong_delim(tmp_path):
+    """A comma matrix read with the default tab delimiter must fail loudly,
+    not silently produce a 1-column matrix."""
+    from infercnv_tpu.cli import main
+
+    counts_path, genes_path, ann_path = _write_example_files(tmp_path, sep=",")
+    with pytest.raises(Exception):
+        main([
+            "--raw_counts_matrix", str(counts_path),
+            "--gene_order_file", str(genes_path),
+            "--annotations_file", str(ann_path),
+            "--ref_group_names", "normal",
+            "--out_dir", str(tmp_path / "out2"),
+            "--no_save_rds",
+        ])
+
+
+def test_plot_cnv_outputs_and_dynamic_resize(tmp_path):
+    """plot_cnv writes the image + the reference's text outputs; with > 200
+    observation cells, dynamic_resize grows the rendered image height
+    (reference inferCNV_heatmap.R:254-262)."""
+    from PIL import Image
+
+    from infercnv_tpu.viz.heatmap import plot_cnv
+
+    obj = make_synthetic(n_normal=20, n_tumor=600)
+    obj.expr = np.exp2(np.random.default_rng(0).normal(0, 0.2, obj.expr.shape)).astype(np.float32)
+
+    p0 = plot_cnv(obj, out_dir=str(tmp_path), output_filename="flat",
+                  x_center=1.0, dynamic_resize=0.0, png_res=60)
+    p1 = plot_cnv(obj, out_dir=str(tmp_path), output_filename="tall",
+                  x_center=1.0, dynamic_resize=1.0, png_res=60)
+    h0 = Image.open(p0).size[1]
+    h1 = Image.open(p1).size[1]
+    assert h1 > h0 * 1.2, (h0, h1)
+
+    # text outputs the downstream tooling consumes
+    assert os.path.exists(tmp_path / "flat.observation_groupings.txt")
+    lines = (tmp_path / "flat.observation_groupings.txt").read_text().strip().splitlines()
+    assert lines[0].startswith("cell_group_name")
+    assert len(lines) == 1 + 600  # one row per observation cell
+    th = [float(v) for v in (tmp_path / "flat.heatmap_thresholds.txt").read_text().split()]
+    assert len(th) == 31 and th[0] < 1.0 < th[-1]
+
+
+def test_plot_cnv_expr_matrices_roundtrip(tmp_path):
+    """write_expr writes .observations.txt / .references.txt with the
+    clamped values in genes x cells orientation."""
+    from infercnv_tpu.viz.heatmap import plot_cnv
+
+    obj = make_synthetic(n_normal=10, n_tumor=12, genes_per_chr=30)
+    obj.expr = np.exp2(np.random.default_rng(1).normal(0, 0.2, obj.expr.shape)).astype(np.float32)
+    plot_cnv(obj, out_dir=str(tmp_path), output_filename="m",
+             x_center=1.0, write_expr=True, png_res=50)
+    obs_lines = (tmp_path / "m.observations.txt").read_text().strip().splitlines()
+    assert len(obs_lines) == 1 + obj.num_genes  # header + genes
+    header = obs_lines[0].split("\t")
+    assert len(header) == 12  # one column per observation cell
+    ref_lines = (tmp_path / "m.references.txt").read_text().strip().splitlines()
+    assert len(ref_lines[0].split("\t")) == 10
+
+
+def test_color_safe_palette_differs():
+    from infercnv_tpu.viz.heatmap import color_palette
+
+    default = color_palette(False)
+    safe = color_palette(True)
+    assert default(0.0) != safe(0.0)
+    # both white at center
+    assert np.allclose(default(0.5), safe(0.5), atol=0.02)
