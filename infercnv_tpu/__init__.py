@@ -90,3 +90,12 @@ def add_to_metadata(*args, **kwargs):
     from infercnv_tpu.report.seurat_export import add_to_metadata as _f
 
     return _f(*args, **kwargs)
+
+
+def add_to_seurat(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.report.seurat_export.add_to_seurat`:
+    file-based metadata export from a finished out_dir (the reference's
+    exported add_to_seurat, R/seurat_interaction.R:23)."""
+    from infercnv_tpu.report.seurat_export import add_to_seurat as _f
+
+    return _f(*args, **kwargs)

@@ -129,6 +129,116 @@ def compute_cnv_features(
     return feats, order
 
 
+def _read_tsv_rows(path: str) -> List[Dict[str, str]]:
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        rows = []
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            rows.append(dict(zip(header, parts)))
+    return rows
+
+
+def load_group_regions_from_out_dir(infercnv_output_path: str):
+    """Reconstruct (final InferCNV object, GroupRegions, hmm_type) from a
+    finished out_dir's files — the reference's file-based ``add_to_seurat``
+    mode (R/seurat_interaction.R:23-100): prefers the post-Bayes-filter
+    ``HMM_CNV_predictions…Pnorm_*`` reports, falls back to the raw step-17
+    ``17_HMM_pred…`` reports, and detects i6/i3 from the file names."""
+    import glob
+    import re
+
+    from infercnv_tpu.report.regions import CnvRegion, GroupRegions
+    from infercnv_tpu.runner.checkpoint import load_step
+
+    final_path = os.path.join(infercnv_output_path, "run.final.infercnv_obj.npz")
+    if not os.path.exists(final_path):
+        raise FileNotFoundError(
+            f'Could not find "run.final.infercnv_obj.npz" at: {infercnv_output_path}')
+    obj, _args, _states = load_step(final_path)
+
+    cand = sorted(glob.glob(os.path.join(
+        infercnv_output_path, "HMM_CNV_predictions.*Pnorm_*.pred_cnv_regions.dat")))
+    if not cand:
+        cand = sorted(glob.glob(os.path.join(
+            infercnv_output_path, "17_HMM_pred*.pred_cnv_regions.dat")))
+    if not cand:
+        raise FileNotFoundError(
+            f"no HMM region reports (*.pred_cnv_regions.dat) in {infercnv_output_path}")
+    regions_path = cand[0]
+    base = regions_path[: -len(".pred_cnv_regions.dat")]
+    genes_path = base + ".pred_cnv_genes.dat"
+    m = re.search(r"HMMi(\d)", os.path.basename(regions_path))
+    hmm_type = f"i{m.group(1)}" if m else "i6"
+
+    groupings = sorted(glob.glob(os.path.join(
+        infercnv_output_path, "17_HMM_pred*.cell_groupings")))
+    cells_by_group: Dict[str, List[str]] = {}
+    if groupings:
+        for row in _read_tsv_rows(groupings[0]):
+            cells_by_group.setdefault(row["cell_group_name"], []).append(row["cell"])
+
+    by_group: Dict[str, Dict[str, CnvRegion]] = {}
+    for row in _read_tsv_rows(regions_path):
+        g = row["cell_group_name"]
+        by_group.setdefault(g, {})[row["cnv_name"]] = CnvRegion(
+            name=row["cnv_name"], state=int(row["state"]), chrom=row["chr"],
+            start=int(row["start"]), end=int(row["end"]),
+            genes=[], gene_states=[], gene_starts=[], gene_stops=[])
+    if os.path.exists(genes_path):
+        for row in _read_tsv_rows(genes_path):
+            reg = by_group.get(row["cell_group_name"], {}).get(row["gene_region_name"])
+            if reg is None:
+                continue
+            reg.genes.append(row["gene"])
+            reg.gene_states.append(int(row["state"]))
+            reg.gene_starts.append(int(row["start"]))
+            reg.gene_stops.append(int(row["end"]))
+
+    group_regions: List[GroupRegions] = []
+    for g, regs in by_group.items():
+        cells = cells_by_group.get(g)
+        if cells is None:
+            # fall back to the object's group/subcluster structure
+            sub = None
+            if obj.tumor_subclusters:
+                for _gg, subs in obj.tumor_subclusters["subclusters"].items():
+                    if g in subs:
+                        sub = subs[g]
+                        break
+            if sub is None:
+                sub = dict(obj.obs_groups, **obj.ref_groups).get(g, np.zeros(0, np.int64))
+            cells = [obj.cell_names[i] for i in np.asarray(sub)]
+        group_regions.append(GroupRegions(group_name=g, cells=cells,
+                                          regions=list(regs.values())))
+    # groups present in .cell_groupings but without any CNV region still
+    # contribute their cells (all-neutral groups)
+    for g, cells in cells_by_group.items():
+        if g not in by_group:
+            group_regions.append(GroupRegions(group_name=g, cells=cells, regions=[]))
+    return obj, group_regions, hmm_type
+
+
+def add_to_seurat(
+    infercnv_output_path: str,
+    top_n: int = 10,
+    bp_tolerance: float = 2_000_000,
+    adata=None,
+    column_prefix: str = "",
+):
+    """File-based metadata export from a FINISHED run directory (the
+    reference's exported ``add_to_seurat`` R/seurat_interaction.R:23-214):
+    works across processes, no in-memory objects required.  Attaches to an
+    AnnData ``.obs`` when given (Python's Seurat counterpart) and always
+    writes ``map_metadata_from_infercnv.txt``."""
+    obj, group_regions, hmm_type = load_group_regions_from_out_dir(
+        infercnv_output_path)
+    return add_to_metadata(obj, group_regions, infercnv_output_path,
+                           hmm_type=hmm_type, top_n=top_n,
+                           bp_tolerance=bp_tolerance, adata=adata,
+                           column_prefix=column_prefix)
+
+
 def add_to_metadata(
     obj: InferCNV,
     group_regions: List[GroupRegions],
