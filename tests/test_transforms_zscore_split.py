@@ -162,8 +162,11 @@ def _obj_planted_tumor(rng, n_ref=6, n_per=12, G=40, sep=4.0):
 
 def test_random_trees_splits_planted_clusters(rng):
     obj = _obj_planted_tumor(rng)
+    # window scaled to the 40-gene toy genome (the reference's fixed k=101
+    # runmean would flatten it entirely — truncated windows cover all genes)
     define_tumor_subclusters(
-        obj, partition_method="random_trees", p_val=0.05, seed=7)
+        obj, partition_method="random_trees", p_val=0.05, seed=7,
+        random_trees_window_size=7)
     subs = obj.tumor_subclusters["subclusters"]["tumor"]
     assert len(subs) >= 2
     # each planted half must live in a single subcluster (no mixed leaves)
