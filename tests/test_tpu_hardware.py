@@ -1,0 +1,72 @@
+"""Hardware-gated smoke tests: compile + run the Pallas kernels with
+interpret=False on a REAL TPU.
+
+The rest of the suite runs on a virtual CPU mesh (conftest forces
+JAX_PLATFORMS=cpu), which exercises the kernels only in interpret mode —
+a Mosaic layout-inference regression (e.g. reintroducing a rank-1
+intermediate, see ops/viterbi_pallas.py rank-2 refactor note) would not be
+caught there.  These tests launch a subprocess WITHOUT the CPU override and
+run the compiled kernel on the attached chip; they skip cleanly when no TPU
+is reachable."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = """
+import jax
+assert any(d.platform != "cpu" for d in jax.devices()), "no TPU"
+"""
+
+_KERNEL = """
+import numpy as np, jax, jax.numpy as jnp
+from infercnv_tpu.core.genome import GeneOrder
+from infercnv_tpu.models.hmm import HMMParams, viterbi_per_group
+from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+assert any(d.platform != "cpu" for d in jax.devices())
+rng = np.random.default_rng(11)
+lens = [100, 40, 30, 20, 1]
+G = sum(lens)
+go = GeneOrder(names=tuple(f"g{i}" for i in range(G)),
+               chr_names=tuple(f"chr{i+1}" for i in range(len(lens))),
+               chr_ids=np.repeat(np.arange(len(lens)), lens).astype(np.int32),
+               start=np.arange(G), stop=np.arange(G))
+hmm = HMMParams(means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+                sds=np.array([0.15, 0.18, 0.12, 0.2, 0.22, 0.3]), t=1e-6)
+resid = rng.normal(1.0, 0.2, (16, G)).astype(np.float32)
+resid[8:, 95:140] += 0.8
+resid[4:8, 140:170] -= 0.5
+engine = CnvEngine(go, hmm, EngineConfig(), use_pallas=True)
+assert not engine._pallas_interpret, "expected compiled (non-interpret) kernel on TPU"
+got = np.asarray(engine._viterbi(jnp.asarray(resid)))
+exp = viterbi_per_group(resid, go, hmm)
+assert np.array_equal(got, exp), "TPU-compiled Pallas Viterbi != reference path"
+print("TPU_PALLAS_OK")
+"""
+
+
+def _run_on_tpu(code: str, timeout: int = 600):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env.setdefault("PYTHONPATH", REPO)
+    return subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def _tpu_available() -> bool:
+    try:
+        return _run_on_tpu(_PROBE, timeout=120).returncode == 0
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="no TPU attached")
+def test_pallas_viterbi_compiles_and_matches_on_tpu():
+    r = _run_on_tpu(_KERNEL)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    assert "TPU_PALLAS_OK" in r.stdout
