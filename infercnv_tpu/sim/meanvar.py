@@ -98,6 +98,58 @@ def simulate_meanvar_counts(
     return vals
 
 
+def estimate_common_dispersion(counts_gc: np.ndarray,
+                               grid: int = 60) -> float:
+    """NB common-dispersion estimate from a genes x cells counts matrix.
+
+    reference ``.estimate_common_dispersion`` (inferCNV_simple_sim.R:227-240)
+    wraps ``edgeR::estimateDisp`` — but note that function is DEAD CODE in
+    the reference: it is never called, and every ``.get_simulated_cell_matrix``
+    call site hardcodes ``common_dispersion=0.1``
+    (inferCNV_hidden_spike.R:86, :123, :258).  This equivalent (profile MLE
+    of the shared NB dispersion with per-gene means on library-size
+    normalized counts, the same estimand as edgeR's common qCML) is provided
+    for API parity and for users who want a data-driven value to pass to
+    ``simulate_simple_counts``.
+    """
+    from scipy.special import gammaln
+
+    y = np.asarray(counts_gc, np.float64)
+    libs = y.sum(axis=0)
+    libs = np.where(libs > 0, libs, 1.0)
+    # normalize to the mean library size (edgeR's equalizeLibSizes spirit)
+    yn = y / libs[None, :] * libs.mean()
+    mu = yn.mean(axis=1, keepdims=True)
+    keep = mu[:, 0] > 0
+    yn, mu = yn[keep], mu[keep]
+    if yn.size == 0:
+        return 0.1
+
+    def negll(log_phi: float) -> float:
+        phi = np.exp(log_phi)
+        r = 1.0 / phi
+        ll = (gammaln(yn + r) - gammaln(r) - gammaln(yn + 1.0)
+              + r * np.log(r / (r + mu)) + yn * np.log(mu / (r + mu)))
+        return -float(ll.sum())
+
+    logs = np.linspace(np.log(1e-4), np.log(10.0), grid)
+    vals = np.array([negll(lp) for lp in logs])
+    i = int(vals.argmin())
+    # golden-section refine around the grid minimum
+    lo = logs[max(i - 1, 0)]
+    hi = logs[min(i + 1, grid - 1)]
+    gr = (np.sqrt(5) - 1) / 2
+    a, b = lo, hi
+    for _ in range(40):
+        c = b - gr * (b - a)
+        d = a + gr * (b - a)
+        if negll(c) < negll(d):
+            b = d
+        else:
+            a = c
+    return float(np.exp((a + b) / 2))
+
+
 def simulate_simple_counts(
     key: jax.Array,
     gene_means: np.ndarray,

@@ -72,3 +72,24 @@ def test_splatter_estimate_and_simulate(ref_matrix):
     # library sizes should be in a plausible range of the estimated scale
     libs = sim.sum(axis=1)
     assert libs.min() > 0
+
+
+def test_estimate_common_dispersion_recovers_truth():
+    """The NB common-dispersion estimator (reference
+    .estimate_common_dispersion, inferCNV_simple_sim.R:227 — dead code there,
+    every call site hardcodes 0.1) recovers a planted dispersion."""
+    from infercnv_tpu.sim.meanvar import estimate_common_dispersion
+
+    rng = np.random.default_rng(0)
+    G, C, phi = 400, 120, 0.1
+    mu = rng.gamma(2.0, 30.0, G)
+    r = 1.0 / phi
+    lam = rng.gamma(r, 1.0 / r, (G, C)) * mu[:, None]
+    y = rng.poisson(lam).astype(np.float64)
+    est = estimate_common_dispersion(y)
+    assert 0.07 < est < 0.14, est
+
+    # near-Poisson data -> small dispersion
+    y2 = rng.poisson(np.tile(mu[:, None], (1, C))).astype(np.float64)
+    est2 = estimate_common_dispersion(y2)
+    assert est2 < 0.02, est2
