@@ -20,7 +20,7 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def main(C_total=1_048_576, chunk=8192):
+def main(C_total=1_048_576, chunk=8192, mode="cells"):
     n_chr = 22
     sizes = np.linspace(800, 120, n_chr).astype(int)
     sizes = (sizes / sizes.sum() * 8448).astype(int)
@@ -63,19 +63,59 @@ def main(C_total=1_048_576, chunk=8192):
     log("ref stats done")
 
     n_chunks = C_total // chunk
-    n_del = n_amp = 0
     t0 = time.perf_counter()
+    if mode == "subclusters":
+        # default analysis configuration: per-subcluster mean accumulation
+        # streamed in-program, one group-mean Viterbi at the end
+        n_sub = 16
+        labels = np.arange(chunk) % n_sub
+        onehot = np.zeros((n_sub, chunk), np.float32)
+        onehot[labels, np.arange(chunk)] = 1.0
+        # deletion chunks map to subclusters 8..15 so the planted CNV
+        # concentrates in distinct group means
+        onehot_del = np.roll(onehot, n_sub // 2, axis=0)
+        oh_a, oh_d = jnp.asarray(onehot), jnp.asarray(onehot_del)
+        acc = None
+        for i in range(n_chunks):
+            key, k = jax.random.split(key)
+            lam = gm[None, :] * (del_d[None, :] if i % 2 else 1.0)
+            counts = gen(k, lam)
+            _resid, gs, gc = engine.subcluster_chunk(
+                counts, norm_factor, ml, mr, None, oh_d if i % 2 else oh_a,
+                acc=acc)
+            acc = (gs, gc)
+            if i % 32 == 31:
+                jax.block_until_ready(acc)
+                rate = (i + 1) * chunk / (time.perf_counter() - t0)
+                log(f"chunk {i+1}/{n_chunks}  ({rate:.0f} cells/s incl. on-device gen)")
+        states = engine.viterbi_group_means(acc[0] / acc[1][:, None])
+        jax.block_until_ready(states)
+        dt = time.perf_counter() - t0
+        log(f"1M cells -> subcluster CNV calls in {dt:.1f}s "
+            f"({C_total/dt:.0f} cells/s, incl. on-device count generation)")
+        st = np.asarray(states)
+        del_groups = (st[n_sub // 2:, sizes[0]:sizes[0] + sizes[1]] < 3).mean()
+        neu_groups = (st[: n_sub // 2] == 3).mean()
+        log(f"deletion called in planted groups: {del_groups:.3f}; "
+            f"clean groups neutral: {neu_groups:.3f}")
+        return
+
+    # per-cell Viterbi mode; summaries accumulate ON DEVICE (a host sync per
+    # chunk would stall the dispatch pipeline over the TPU link)
+    summ_acc = jax.jit(lambda s, acc: acc + jnp.stack(
+        [jnp.sum(s < 3), jnp.sum(s > 3)]).astype(jnp.float32))
+    acc = jnp.zeros((2,), jnp.float32)
     for i in range(n_chunks):
         key, k = jax.random.split(key)
         lam = gm[None, :] * (del_d[None, :] if i % 2 else 1.0)
         counts = gen(k, lam)
         _resid, states = engine.full_chunk(counts, norm_factor, ml, mr)
-        d, a = summ(states)
-        n_del += int(d)
-        n_amp += int(a)
+        acc = summ_acc(states, acc)
         if i % 16 == 15:
+            jax.block_until_ready(acc)
             rate = (i + 1) * chunk / (time.perf_counter() - t0)
             log(f"chunk {i+1}/{n_chunks}  ({rate:.0f} cells/s incl. on-device gen)")
+    n_del, n_amp = np.asarray(acc)
     dt = time.perf_counter() - t0
     log(f"1M cells -> CNV calls in {dt:.1f}s ({C_total/dt:.0f} cells/s, "
         f"incl. on-device count generation)")
@@ -85,4 +125,4 @@ def main(C_total=1_048_576, chunk=8192):
 
 
 if __name__ == "__main__":
-    main()
+    main(mode=sys.argv[1] if len(sys.argv) > 1 else "cells")
