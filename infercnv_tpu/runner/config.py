@@ -101,6 +101,10 @@ class RunConfig:
     output_format: str = "png"
     plot_chr_scale: bool = False
     chr_lengths: Optional[Sequence[int]] = None
+    # fused engine fast path for steps 4-14: "auto" uses it whenever the
+    # configuration is engine-expressible (see pipeline._engine_fast_ok);
+    # True forces it (errors if incompatible); False always runs op-by-op
+    use_engine: object = "auto"
     # plot cosmetics (reference plot_cnv args mirrored through the CLI)
     title: str = "inferCNV"
     title_obs: str = "Observations (Cells)"

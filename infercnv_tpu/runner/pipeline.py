@@ -82,6 +82,98 @@ def _smooth(obj: InferCNV, cfg: RunConfig) -> None:
             h.expr = np.asarray(smooth_by_chromosome(h.expr, h.gene_order, cfg.window_length, method))
 
 
+def _engine_fast_ok(cfg: RunConfig, skip_past: int) -> bool:
+    """True when steps 4-14 can run as ONE fused engine program per cell
+    chunk instead of op-by-op host round-trips.  Requires: no optional
+    steps that reshape the gene axis or need intermediate matrices
+    (scale_data, split refs, random_trees pre-clustering, chr-end trimming,
+    outlier pruning), a numeric clamp threshold (not 'auto'), an
+    operator-expressible smoother, and no per-step artifacts requested
+    (save_rds / plot_steps / early up_to_step)."""
+    if cfg.use_engine is False:
+        return False
+    ok = (not cfg.scale_data
+          and cfg.num_ref_groups is None
+          and not (cfg.analysis_mode == "subclusters"
+                   and cfg.tumor_subcluster_partition_method == "random_trees")
+          and not cfg.remove_genes_at_chr_ends
+          and not cfg.prune_outliers
+          and cfg.smooth_method in ("pyramidinal", "runmeans")
+          and isinstance(cfg.max_centered_threshold, (int, float))
+          and not isinstance(cfg.max_centered_threshold, bool)
+          and not cfg.save_rds and not cfg.plot_steps
+          and cfg.up_to_step >= 15
+          and skip_past == 0)
+    if cfg.use_engine is True and not ok:
+        raise ValueError(
+            "use_engine=True but the configuration requires op-by-op steps "
+            "(scale_data / num_ref_groups / random_trees / chr-end trimming / "
+            "outlier pruning / auto threshold / coordinates smoothing / "
+            "save_rds / plot_steps / up_to_step<15 are engine-incompatible)")
+    return ok
+
+
+def _hspike_residual_chain(h: InferCNV, cfg: RunConfig, threshold: float) -> None:
+    """Apply the step 4-14 transform chain to the hspike child on host (it
+    is tiny); mirrors exactly what the step-by-step path does to it."""
+    h.expr = np.asarray(T.log2xplus1(h.expr))
+    _subtract_ref(h, inv_log=False, use_bounds=cfg.ref_subtract_use_mean_bounds)
+    h.expr = np.asarray(T.apply_max_threshold_bounds(h.expr, float(threshold)))
+    if cfg.smooth_method == "coordinates":
+        h.expr = np.asarray(smooth_by_chromosome(h.expr, h.gene_order, 51, "pyramidinal"))
+    else:
+        method = "runmeans" if cfg.smooth_method == "runmeans" else "pyramidinal"
+        h.expr = np.asarray(smooth_by_chromosome(h.expr, h.gene_order, cfg.window_length, method))
+    h.expr = np.asarray(T.center_cells(h.expr, "median"))
+    _subtract_ref(h, inv_log=False, use_bounds=cfg.ref_subtract_use_mean_bounds)
+    h.expr = np.asarray(T.invert_log2(h.expr))
+
+
+def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> None:
+    """STEPS 4-14 as the fused CnvEngine transform (log -> bounds subtract ->
+    clamp -> smooth -> median-center -> subtract -> unlog), streamed in cell
+    chunks — the same compiled program bench.py measures, proven equivalent
+    to the op-by-op path (tests/test_engine_pipeline_unify.py).  obj.expr
+    must already be depth-normalized (engine normalization is idempotent on
+    normalized input)."""
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    log_info("STEPS 04-14: fused engine transform (use_engine fast path)")
+    with timer.step("04-14_engine_transform"):
+        ecfg = EngineConfig(
+            window_length=cfg.window_length,
+            smooth_method=cfg.smooth_method,
+            max_centered_threshold=float(cfg.max_centered_threshold),
+            ref_subtract_use_bounds=cfg.ref_subtract_use_mean_bounds,
+            center_method="median",
+            denoise=False,
+        )
+        # transform-only use: HMM params are placeholders
+        params = HMMParams(means=np.arange(1.0, 7.0), sds=np.ones(6), t=1e-6)
+        engine = CnvEngine(obj.gene_order, params, ecfg)
+        if obj.has_reference_cells():
+            groups = [np.asarray(v) for v in obj.ref_groups.values()]
+        else:
+            groups = [obj.all_obs_idx()]
+        ref_idx = np.concatenate(groups)
+        onehot = np.zeros((len(groups), ref_idx.size), np.float32)
+        pos = {int(c): i for i, c in enumerate(ref_idx)}
+        for k, g in enumerate(groups):
+            onehot[k, [pos[int(c)] for c in g]] = 1.0
+        norm_factor = float(np.median(obj.expr.sum(axis=1)))
+        ml, mr, _ = engine.ref_stats(obj.expr[ref_idx], norm_factor, onehot)
+        C = obj.num_cells
+        chunk = 16384
+        out = np.empty_like(obj.expr)
+        for b in range(0, C, chunk):
+            out[b:b + chunk] = np.asarray(engine.transform_chunk(
+                obj.expr[b:b + chunk], norm_factor, ml, mr))
+        obj.expr = out
+        if obj.hspike is not None:
+            _hspike_residual_chain(obj.hspike, cfg, float(cfg.max_centered_threshold))
+
+
 def _remove_genes_at_chr_ends(obj: InferCNV, window_length: int) -> None:
     drop = T.genes_at_chr_ends(obj.gene_order, window_length)
     if drop.size == 0:
@@ -260,6 +352,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     if done(3):
         result.infercnv_obj = obj
         return result
+
+    # STEPS 4-14 fused fast path: one compiled engine program per cell chunk
+    if _engine_fast_ok(cfg, skip_past) and skip_past < 14:
+        _run_engine_residual(obj, cfg, timer)
+        skip_past = max(skip_past, 14)
 
     # STEP 4: log transform
     if skip_past < 4:
