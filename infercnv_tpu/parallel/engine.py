@@ -110,8 +110,16 @@ class CnvEngine:
         self._pallas_interpret = bool(use_pallas) and (
             (mesh.devices.flat[0].platform if mesh is not None
              else jax.default_backend()) == "cpu")
-        op = smoothing_operator(gene_order, config.window_length,
-                                "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
+        if config.smooth_method == "coordinates":
+            from infercnv_tpu.ops.layout import coordinate_smoothing_operator
+
+            # bp-window (run() remaps gene-unit windows to 10 Mbp;
+            # reference R/inferCNV_ops.R:357-361)
+            op = coordinate_smoothing_operator(gene_order, config.window_length)
+        else:
+            op = smoothing_operator(
+                gene_order, config.window_length,
+                "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
         self._blocks = jnp.asarray(op.blocks)
         self._op_meta = (op.n_tiles, op.side_tiles, op.num_genes)
         gather, valid, boundaries, Lmax = _pack_indices(gene_order)

@@ -131,6 +131,10 @@ class RunConfig:
         if self.HMM_type == "i6" and self.smooth_method == "coordinates":
             # reference forbids this combination (inferCNV_ops.R:353-356)
             raise ValueError("i6 HMM mode is incompatible with smooth_method='coordinates'")
+        if self.smooth_method == "coordinates" and self.window_length < 10000:
+            # reference remaps a gene-unit window to the 10 Mbp default
+            # (inferCNV_ops.R:357-361)
+            self.window_length = 10_000_000
         if self.tumor_subcluster_partition_method not in (
             "leiden", "random_trees", "qnorm", "pheight", "qgamma", "shc", "none",
         ):

@@ -98,7 +98,7 @@ def _engine_fast_ok(cfg: RunConfig, skip_past: int) -> bool:
                    and cfg.tumor_subcluster_partition_method == "random_trees")
           and not cfg.remove_genes_at_chr_ends
           and not cfg.prune_outliers
-          and cfg.smooth_method in ("pyramidinal", "runmeans")
+          and cfg.smooth_method in ("pyramidinal", "runmeans", "coordinates")
           and isinstance(cfg.max_centered_threshold, (int, float))
           and not isinstance(cfg.max_centered_threshold, bool)
           and not cfg.save_rds and not cfg.plot_steps

@@ -33,7 +33,6 @@ def test_auto_selects_engine_only_when_compatible(tmp_path):
     assert _engine_fast_ok(ok, 0)
     for bad in (dict(scale_data=True), dict(prune_outliers=True),
                 dict(remove_genes_at_chr_ends=True),
-                dict(smooth_method="coordinates"),
                 dict(max_centered_threshold="auto"),
                 dict(save_rds=True), dict(up_to_step=10)):
         cfg = RunConfig(out_dir="x", **{**ARGS, "save_rds": False, **bad})
@@ -42,6 +41,20 @@ def test_auto_selects_engine_only_when_compatible(tmp_path):
     with pytest.raises(ValueError):
         _engine_fast_ok(RunConfig(out_dir="x", use_engine=True,
                                   **{**ARGS, "scale_data": True}), 0)
+
+
+def test_engine_coordinates_smoothing_matches(tmp_path):
+    """coordinates smoothing (bp windows) also runs through the engine and
+    matches the op-by-op path (i3 HMM: i6+coordinates is forbidden)."""
+    args = dict(ARGS, HMM_type="i3", smooth_method="coordinates",
+                window_length=10_000)
+    res_fast = run(make_synthetic(), out_dir=str(tmp_path / "fast"),
+                   use_engine=True, **args)
+    res_slow = run(make_synthetic(), out_dir=str(tmp_path / "slow"),
+                   use_engine=False, **args)
+    np.testing.assert_allclose(res_fast.infercnv_obj.expr,
+                               res_slow.infercnv_obj.expr,
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_incompatible_config_still_runs_op_by_op(tmp_path):
