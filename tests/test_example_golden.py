@@ -91,6 +91,46 @@ def test_engine_matches_pipeline_ops(example_obj):
     np.testing.assert_allclose(resid_engine, resid_ops, rtol=2e-4, atol=2e-4)
 
 
+def test_leiden_example_partition_stable_and_group_confined(example_obj):
+    """Leiden on the bundled example: deterministic under a fixed seed, and
+    every subcluster stays within its annotation group (no R golden exists —
+    the packaged objects were generated in samples mode — so determinism +
+    structure is the strongest available check; see PARITY.md)."""
+    from infercnv_tpu.ops import transforms as T2
+    from infercnv_tpu.subcluster.partition import define_tumor_subclusters
+
+    def residual_obj():
+        obj = example_obj.copy()
+        obj.remove_genes(T2.below_min_mean_expr_cutoff(obj.expr, 1.0))
+        x = T2.normalize_counts_by_seq_depth(obj.expr)
+        x = T2.log2xplus1(x)
+        M = T2.group_onehot(list(obj.ref_groups.values()), obj.num_cells)
+        x = T2.subtract_ref_expr(x, T2.ref_group_gene_means(x, M), use_bounds=True)
+        obj.expr = np.asarray(T2.invert_log2(x))
+        return obj
+
+    parts = []
+    for _ in range(2):
+        obj = residual_obj()
+        define_tumor_subclusters(obj, partition_method="leiden", seed=12345)
+        parts.append(obj.tumor_subclusters["subclusters"])
+    # determinism: identical membership across runs
+    assert set(parts[0]) == set(parts[1])
+    for g in parts[0]:
+        assert set(parts[0][g]) == set(parts[1][g])
+        for name in parts[0][g]:
+            np.testing.assert_array_equal(parts[0][g][name], parts[1][g][name])
+    # group confinement: subcluster members come only from their group
+    obj = residual_obj()
+    group_of = {}
+    for g, idx in {**obj.obs_groups, **obj.ref_groups}.items():
+        for c in idx:
+            group_of[int(c)] = g
+    for g, subs in parts[0].items():
+        for name, members in subs.items():
+            assert {group_of[int(c)] for c in members} == {g}, name
+
+
 def test_engine_subclusters_mode_matches_pipeline(example_obj, tmp_path):
     """The streaming engine in the DEFAULT analysis configuration
     (multi-ref-group bounds + subcluster-mode Viterbi with the hspike
