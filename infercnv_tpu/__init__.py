@@ -18,7 +18,7 @@ See ``SURVEY.md`` at the repo root for the structural analysis of the
 reference that this package is built to.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
@@ -99,3 +99,42 @@ def add_to_seurat(*args, **kwargs):
     from infercnv_tpu.report.seurat_export import add_to_seurat as _f
 
     return _f(*args, **kwargs)
+
+
+def plot_subclusters(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.viz.subclusters.plot_subclusters`
+    (reference exported plot_subclusters, inferCNV_tumor_subclusters.R:336)."""
+    from infercnv_tpu.viz.subclusters import plot_subclusters as _f
+
+    return _f(*args, **kwargs)
+
+
+def inferCNVBayesNet(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.models.bayes.inferCNVBayesNet`
+    (reference exported name, inferCNV_BayesNet.R:1237)."""
+    from infercnv_tpu.models.bayes import inferCNVBayesNet as _f
+
+    return _f(*args, **kwargs)
+
+
+def filterHighPNormals(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.models.bayes.filterHighPNormals`
+    (reference exported name, inferCNV_BayesNet.R:1394)."""
+    from infercnv_tpu.models.bayes import filterHighPNormals as _f
+
+    return _f(*args, **kwargs)
+
+
+def color_palette(*args, **kwargs):
+    """Lazy alias for :func:`infercnv_tpu.viz.heatmap.color_palette`
+    (reference exported color.palette, inferCNV_ops.R:1808)."""
+    from infercnv_tpu.viz.heatmap import color_palette as _f
+
+    return _f(*args, **kwargs)
+
+
+# CamelCase alias matching the reference's exported constructor name
+def CreateInfercnvObject(*args, **kwargs):
+    """Alias of :func:`infercnv_tpu.core.object.create_infercnv_object`
+    under the reference's exported name (R/inferCNV.R:133)."""
+    return create_infercnv_object(*args, **kwargs)
