@@ -179,8 +179,9 @@ def write_expr_matrix(path: str, expr_cg: np.ndarray, gene_order: GeneOrder,
     """Write a [genes x cells] tab matrix in the reference's text format
     (e.g. infercnv.observations.txt)."""
     idx = np.asarray(cell_idx)
-    sub = np.asarray(expr_cg)[idx].T  # [G, |idx|]
+    sub = np.asarray(expr_cg)[idx].T.astype(np.float64)  # [G, |idx|]
+    rows = sub.tolist()  # bulk-convert: ~5x faster than per-element float()
     with open(path, "w") as f:
         f.write("\t".join(f'"{cell_names[i]}"' for i in idx) + "\n")
-        for g in range(sub.shape[0]):
-            f.write('"' + gene_order.names[g] + '" ' + " ".join(repr(float(v)) for v in sub[g]) + "\n")
+        for g, row in enumerate(rows):
+            f.write('"' + gene_order.names[g] + '" ' + " ".join(map(repr, row)) + "\n")
