@@ -170,7 +170,8 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
             out[b:b + chunk] = np.asarray(engine.transform_chunk(
                 obj.expr[b:b + chunk], norm_factor, ml, mr))
         obj.expr = out
-        if obj.hspike is not None:
+    if obj.hspike is not None:
+        with timer.step("04-14_hspike_mirror"):
             _hspike_residual_chain(obj.hspike, cfg, float(cfg.max_centered_threshold))
 
 
@@ -520,6 +521,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         if not (cfg.no_prelim_plot or cfg.no_plot):
             from infercnv_tpu.viz.heatmap import plot_cnv as _plot_cnv
 
+            timer_plot = timer.step("15_prelim_plot")
+            timer_plot.__enter__()
             _plot_cnv(obj, out_dir=cfg.out_dir,
                       output_filename="infercnv.preliminary",
                       title="Preliminary infercnv (pre-noise filtering)",
@@ -531,6 +534,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                       write_expr=cfg.write_expr_matrix,
                       write_phylo=cfg.write_phylo,
                       output_format=cfg.output_format)
+            timer_plot.__exit__(None, None, None)
     if done(15):
         result.infercnv_obj = obj
         return result
@@ -723,6 +727,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         try:
             from infercnv_tpu.viz.heatmap import plot_cnv
 
+            timer_final = timer.step("23_final_plot")
+            timer_final.__enter__()
             plot_cnv(obj, out_dir=cfg.out_dir, output_filename="infercnv",
                      title=cfg.title,
                      obs_title=cfg.title_obs,
@@ -741,6 +747,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      write_phylo=cfg.write_phylo,
                      png_res=min(cfg.png_res, 200),
                      output_format=cfg.output_format)
+            timer_final.__exit__(None, None, None)
         except ImportError:
             log_warn("viz module unavailable; skipping final heatmap")
 
