@@ -101,15 +101,15 @@ def _engine_fast_ok(cfg: RunConfig, skip_past: int) -> bool:
           and cfg.smooth_method in ("pyramidinal", "runmeans", "coordinates")
           and isinstance(cfg.max_centered_threshold, (int, float))
           and not isinstance(cfg.max_centered_threshold, bool)
-          and not cfg.save_rds and not cfg.plot_steps
+          and not cfg.plot_steps
           and cfg.up_to_step >= 15
           and skip_past == 0)
     if cfg.use_engine is True and not ok:
         raise ValueError(
             "use_engine=True but the configuration requires op-by-op steps "
             "(scale_data / num_ref_groups / random_trees / chr-end trimming / "
-            "outlier pruning / auto threshold / coordinates smoothing / "
-            "save_rds / plot_steps / up_to_step<15 are engine-incompatible)")
+            "outlier pruning / auto threshold / plot_steps / up_to_step<15 "
+            "are engine-incompatible)")
     return ok
 
 
@@ -354,9 +354,12 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         result.infercnv_obj = obj
         return result
 
-    # STEPS 4-14 fused fast path: one compiled engine program per cell chunk
+    # STEPS 4-14 fused fast path: one compiled engine program per cell chunk.
+    # With save_rds, only the step-14 checkpoint is written (the 4-13
+    # intermediates are never materialized); resume picks it up as usual.
     if _engine_fast_ok(cfg, skip_past) and skip_past < 14:
         _run_engine_residual(obj, cfg, timer)
+        save(14)  # while skip_past is still < 14
         skip_past = max(skip_past, 14)
 
     # STEP 4: log transform

@@ -31,10 +31,13 @@ def test_auto_selects_engine_only_when_compatible(tmp_path):
 
     ok = RunConfig(out_dir="x", **ARGS)
     assert _engine_fast_ok(ok, 0)
+    # save_rds is engine-compatible (only the step-14 checkpoint is written)
+    cfg_rds = RunConfig(out_dir="x", **{**ARGS, "save_rds": True})
+    assert _engine_fast_ok(cfg_rds, 0)
     for bad in (dict(scale_data=True), dict(prune_outliers=True),
                 dict(remove_genes_at_chr_ends=True),
                 dict(max_centered_threshold="auto"),
-                dict(save_rds=True), dict(up_to_step=10)):
+                dict(plot_steps=True), dict(up_to_step=10)):
         cfg = RunConfig(out_dir="x", **{**ARGS, "save_rds": False, **bad})
         assert not _engine_fast_ok(cfg, 0), bad
     # forcing the engine on an incompatible config is a loud error
@@ -62,3 +65,22 @@ def test_incompatible_config_still_runs_op_by_op(tmp_path):
     res = run(make_synthetic(), out_dir=str(tmp_path), prune_outliers=True,
               **ARGS)
     assert res.hmm_states is not None
+
+
+def test_engine_path_with_save_rds_resumes_from_step14(tmp_path, monkeypatch):
+    """With save_rds, the engine path writes the step-14 checkpoint and a
+    re-run resumes from it (steps 4-14 skipped entirely)."""
+    from infercnv_tpu.runner import pipeline as pl
+
+    args = dict(ARGS, save_rds=True)
+    out = str(tmp_path)
+    res1 = run(make_synthetic(), out_dir=out, **args)
+    assert (tmp_path / "14_invert_log_transform.HMMi6.infercnv_obj.npz").exists()
+
+    def _boom(*a, **k):
+        raise AssertionError("engine transform re-ran despite step-14 checkpoint")
+
+    monkeypatch.setattr(pl, "_run_engine_residual", _boom)
+    res2 = run(make_synthetic(), out_dir=out, **args)
+    np.testing.assert_allclose(res1.infercnv_obj.expr, res2.infercnv_obj.expr,
+                               atol=1e-6)
