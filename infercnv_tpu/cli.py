@@ -118,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_format", default="png")
     p.add_argument("--plot_chr_scale", action="store_true")
     p.add_argument("--up_to_step", type=int, default=100)
+    p.add_argument("--use_engine", default="auto", choices=["auto", "true", "false"],
+                   help="fused-engine fast path for steps 4-14 (default auto)")
     p.add_argument("--log_file", default=None)
     p.add_argument("--seed", type=int, default=12345)
 
@@ -243,6 +245,7 @@ def main(argv=None) -> int:
         output_format=args.output_format,
         plot_chr_scale=args.plot_chr_scale,
         up_to_step=args.up_to_step,
+        use_engine={"auto": "auto", "true": True, "false": False}[args.use_engine],
         seed=args.seed,
         title=args.title,
         title_obs=args.title_obs,
