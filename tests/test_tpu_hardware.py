@@ -65,8 +65,17 @@ def _tpu_available() -> bool:
         return False
 
 
-@pytest.mark.skipif(not _tpu_available(), reason="no TPU attached")
+_ENABLED = os.environ.get("INFERCNV_TPU_HW_TESTS") == "1"
+
+
+@pytest.mark.skipif(
+    not _ENABLED,
+    reason="set INFERCNV_TPU_HW_TESTS=1 to run the on-hardware Pallas compile "
+           "check (kept out of the default suite: compile times over the "
+           "remote-TPU tunnel are too variable for CI determinism)")
 def test_pallas_viterbi_compiles_and_matches_on_tpu():
-    r = _run_on_tpu(_KERNEL)
+    if not _tpu_available():
+        pytest.skip("no TPU attached")
+    r = _run_on_tpu(_KERNEL, timeout=900)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "TPU_PALLAS_OK" in r.stdout
