@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import gzip
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -33,6 +33,8 @@ def read_counts_matrix(path: str, sep: str = "\t") -> Tuple[np.ndarray, List[str
     log_info(f"Reading counts matrix: {path}")
     if path.endswith(".rds") or path.endswith(".RDS"):
         return _read_counts_rds(path)
+    if path.endswith(".h5ad") or path.endswith(".h5"):
+        return read_h5ad_counts(path)
     with _open(path) as f:
         header = f.readline().rstrip("\n").split(sep)
         # header may or may not carry a leading corner label
@@ -76,6 +78,60 @@ def _read_counts_rds(path: str) -> Tuple[np.ndarray, List[str], List[str]]:
         return np.asarray(mat, np.float64), rows, cols
     raise ValueError(f"unsupported .rds payload in {path}: expected matrix, "
                      "data.frame, or dgCMatrix")
+
+
+def _h5_string_array(ds) -> List[str]:
+    vals = ds[()]
+    return [v.decode() if isinstance(v, bytes) else str(v) for v in vals]
+
+
+def _h5_index(group):
+    """Resolve an AnnData dataframe group's index column."""
+    name = group.attrs.get("_index", "_index")
+    if isinstance(name, bytes):
+        name = name.decode()
+    if name in group:
+        return _h5_string_array(group[name])
+    # categorical / older encodings
+    for cand in ("index", "_index"):
+        if cand in group:
+            return _h5_string_array(group[cand])
+    raise ValueError("could not locate index in h5ad dataframe group")
+
+
+def read_h5ad_counts(path: str, layer: Optional[str] = None) -> Tuple[np.ndarray, List[str], List[str]]:
+    """Read an AnnData ``.h5ad`` file's counts into a dense [G, C] matrix.
+
+    Needs only h5py (not the anndata package): reads ``/X`` (or
+    ``/layers/<layer>``) in dense, csr_matrix, or csc_matrix encodings, with
+    gene names from ``/var`` and cell names from ``/obs``.  Note AnnData
+    stores cells x genes; this transposes to the genes x cells orientation
+    the reference uses."""
+    import h5py
+    import scipy.sparse as sp
+
+    with h5py.File(path, "r") as f:
+        node = f["layers"][layer] if layer else f["X"]
+        if isinstance(node, h5py.Dataset):
+            x_cg = np.asarray(node[()], np.float64)  # [C, G]
+        else:
+            enc = node.attrs.get("encoding-type", b"")
+            if isinstance(enc, bytes):
+                enc = enc.decode()
+            shape = tuple(int(v) for v in node.attrs["shape"])
+            data = node["data"][()]
+            indices = node["indices"][()]
+            indptr = node["indptr"][()]
+            cls = sp.csr_matrix if "csr" in enc else sp.csc_matrix
+            x_cg = np.asarray(cls((data, indices, indptr), shape=shape).toarray(),
+                              np.float64)
+        cell_names = _h5_index(f["obs"])
+        gene_names = _h5_index(f["var"])
+    if x_cg.shape != (len(cell_names), len(gene_names)):
+        raise ValueError(
+            f"h5ad X shape {x_cg.shape} does not match obs x var "
+            f"({len(cell_names)}, {len(gene_names)})")
+    return x_cg.T.copy(), gene_names, cell_names
 
 
 def read_gene_order_file(path: str) -> Tuple[Dict[str, Tuple[str, int, int]], List[str]]:

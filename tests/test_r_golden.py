@@ -184,3 +184,50 @@ def test_rds_counts_ingestion(tmp_path):
     m3, r3, c3 = read_counts_matrix(p)
     np.testing.assert_array_equal(m3, mat)
     assert r3 == rows and c3 == cols
+
+
+def test_h5ad_counts_ingestion(tmp_path):
+    """.h5ad ingestion via h5py (dense and CSR encodings), transposed to the
+    genes x cells orientation."""
+    h5py = pytest.importorskip("h5py")
+    from infercnv_tpu.io.loaders import read_counts_matrix
+
+    rng = np.random.default_rng(0)
+    C, G = 5, 7
+    x_cg = rng.poisson(5.0, (C, G)).astype(np.float64)
+    cells = [f"c{i}" for i in range(C)]
+    genes = [f"g{i}" for i in range(G)]
+
+    dense = str(tmp_path / "dense.h5ad")
+    with h5py.File(dense, "w") as f:
+        f.create_dataset("X", data=x_cg)
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.create_dataset("_index", data=np.array(cells, dtype="S"))
+        var = f.create_group("var")
+        var.attrs["_index"] = "_index"
+        var.create_dataset("_index", data=np.array(genes, dtype="S"))
+    m, gn, cn = read_counts_matrix(dense)
+    np.testing.assert_array_equal(m, x_cg.T)
+    assert gn == genes and cn == cells
+
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(x_cg)
+    sparse = str(tmp_path / "sparse.h5ad")
+    with h5py.File(sparse, "w") as f:
+        xg = f.create_group("X")
+        xg.attrs["encoding-type"] = "csr_matrix"
+        xg.attrs["shape"] = np.array([C, G])
+        xg.create_dataset("data", data=csr.data)
+        xg.create_dataset("indices", data=csr.indices)
+        xg.create_dataset("indptr", data=csr.indptr)
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "_index"
+        obs.create_dataset("_index", data=np.array(cells, dtype="S"))
+        var = f.create_group("var")
+        var.attrs["_index"] = "_index"
+        var.create_dataset("_index", data=np.array(genes, dtype="S"))
+    m2, gn2, cn2 = read_counts_matrix(sparse)
+    np.testing.assert_array_equal(m2, x_cg.T)
+    assert gn2 == genes and cn2 == cells
