@@ -99,6 +99,20 @@ def _h5_index(group):
     raise ValueError("could not locate index in h5ad dataframe group")
 
 
+def _read_10x_h5(f) -> Tuple[np.ndarray, List[str], List[str]]:
+    """CellRanger v3 HDF5: /matrix CSC (genes x cells) with features/barcodes."""
+    import scipy.sparse as sp
+
+    g = f["matrix"]
+    shape = tuple(int(v) for v in g["shape"][()])  # (genes, cells)
+    m = sp.csc_matrix((g["data"][()], g["indices"][()], g["indptr"][()]),
+                      shape=shape)
+    feats = g["features"]["name" if "name" in g["features"] else "id"]
+    gene_names = _h5_string_array(feats)
+    cell_names = _h5_string_array(g["barcodes"])
+    return np.asarray(m.toarray(), np.float64), gene_names, cell_names
+
+
 def read_h5ad_counts(path: str, layer: Optional[str] = None) -> Tuple[np.ndarray, List[str], List[str]]:
     """Read an AnnData ``.h5ad`` file's counts into a dense [G, C] matrix.
 
@@ -111,6 +125,8 @@ def read_h5ad_counts(path: str, layer: Optional[str] = None) -> Tuple[np.ndarray
     import scipy.sparse as sp
 
     with h5py.File(path, "r") as f:
+        if "matrix" in f and "X" not in f:
+            return _read_10x_h5(f)
         node = f["layers"][layer] if layer else f["X"]
         if isinstance(node, h5py.Dataset):
             x_cg = np.asarray(node[()], np.float64)  # [C, G]

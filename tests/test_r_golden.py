@@ -231,3 +231,30 @@ def test_h5ad_counts_ingestion(tmp_path):
     m2, gn2, cn2 = read_counts_matrix(sparse)
     np.testing.assert_array_equal(m2, x_cg.T)
     assert gn2 == genes and cn2 == cells
+
+
+def test_10x_h5_counts_ingestion(tmp_path):
+    """CellRanger v3 .h5 (CSC genes x cells under /matrix) loads too."""
+    h5py = pytest.importorskip("h5py")
+    import scipy.sparse as sp
+
+    from infercnv_tpu.io.loaders import read_counts_matrix
+
+    rng = np.random.default_rng(1)
+    G, C = 6, 4
+    x_gc = rng.poisson(3.0, (G, C)).astype(np.float64)
+    m = sp.csc_matrix(x_gc)
+    p = str(tmp_path / "tenx.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("matrix")
+        g.create_dataset("data", data=m.data)
+        g.create_dataset("indices", data=m.indices)
+        g.create_dataset("indptr", data=m.indptr)
+        g.create_dataset("shape", data=np.array([G, C]))
+        g.create_dataset("barcodes", data=np.array([f"b{i}" for i in range(C)], dtype="S"))
+        feats = g.create_group("features")
+        feats.create_dataset("name", data=np.array([f"g{i}" for i in range(G)], dtype="S"))
+    mat, gn, cn = read_counts_matrix(p)
+    np.testing.assert_array_equal(mat, x_gc)
+    assert gn == [f"g{i}" for i in range(G)]
+    assert cn == [f"b{i}" for i in range(C)]
