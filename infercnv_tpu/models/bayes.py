@@ -186,6 +186,24 @@ def run_bayesian_mixture(
     result.cell_probabilities = [
         eps_freq[ri, regions[ri]["cell_idx"], :].T for ri in range(R)
     ]
+
+    # convergence check on the theta chains (the reference computes Gelman
+    # plots but never inspects them; here poor mixing is surfaced loudly)
+    try:
+        from infercnv_tpu.viz.bayes_plots import gelman_rubin
+
+        rhat = gelman_rubin(result.theta_traces)                   # [R, S]
+        worst = float(np.nanmax(rhat))
+        if worst > 1.1:
+            bad = [result.cnv_region_names[i]
+                   for i in np.nonzero(np.nanmax(rhat, axis=-1) > 1.1)[0][:5]]
+            from infercnv_tpu.utils.logging import log_warn
+
+            log_warn(f"Gibbs chains poorly mixed (max R-hat {worst:.3f} > 1.1) "
+                     f"for region(s) {bad}; posterior filtering decisions for "
+                     "these regions may be unstable")
+    except Exception:  # diagnostics must never fail an analysis
+        pass
     return result, regions
 
 
