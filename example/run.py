@@ -7,7 +7,10 @@ Usage:
     python example/run.py [out_dir] [--i3] [--no-hmm]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from infercnv_tpu.io import load_bundled_example
 from infercnv_tpu.runner.pipeline import run
