@@ -107,9 +107,12 @@ class CnvEngine:
             use_pallas = platform not in ("cpu",)
         self.use_pallas = use_pallas
         # forcing the Pallas path off-TPU (tests) runs the kernel interpreted
-        self._pallas_interpret = bool(use_pallas) and (
-            (mesh.devices.flat[0].platform if mesh is not None
-             else jax.default_backend()) == "cpu")
+        _platform = (mesh.devices.flat[0].platform if mesh is not None
+                     else jax.default_backend())
+        self._pallas_interpret = bool(use_pallas) and _platform == "cpu"
+        # scan unrolling speeds the TPU XLA Viterbi ~1.3x but inflates CPU
+        # compile time ~4x (the 8-virtual-device dryrun runs on few cores)
+        self._scan_unroll = 1 if _platform == "cpu" else 4
         if config.smooth_method == "coordinates":
             from infercnv_tpu.ops.layout import coordinate_smoothing_operator
 
@@ -311,7 +314,7 @@ class CnvEngine:
             return nu_new, (bp, am)
 
         nu_last, (bps, ams) = jax.lax.scan(
-            step, nu0, (em_all[1:], mask[1:], bndm[1:]), unroll=4)
+            step, nu0, (em_all[1:], mask[1:], bndm[1:]), unroll=self._scan_unroll)
         y_last = jnp.argmax(nu_last, axis=0).astype(jnp.int8)  # [B]
 
         # backtrace via one-hot select: per-lane take_along_axis gathers
@@ -328,7 +331,7 @@ class CnvEngine:
             return y, y
 
         _, ys = jax.lax.scan(back, y_last, (bps, ams, bcut),
-                             reverse=True, unroll=4)
+                             reverse=True, unroll=self._scan_unroll)
         states = jnp.concatenate([ys, y_last[None, :]], axis=0) + 1  # [L, B]
         vals = states.T.reshape(C, n_bins * self._Lmax)
         return self._force_short_neutral(vals[:, self._inv_pack], S)
