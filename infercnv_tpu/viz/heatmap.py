@@ -288,7 +288,7 @@ def plot_cnv(
     for pos, lab in zip(label_pos, chr_labels):
         ax_chr.text(pos, -0.8, lab, ha="center", va="bottom",
                     fontsize=contig_lab_size)
-    ax_chr.set_title(title, fontsize=11)
+    ax_chr.set_title(title, fontsize=11, pad=16)
 
     cmap = custom_color_pal or color_palette(color_safe_pal)
     norm = Normalize(vmin=lo, vmax=hi)
@@ -353,6 +353,7 @@ def plot_cnv(
         kax.plot((edges[:-1] + edges[1:]) / 2, dens, color="cyan", lw=0.7)
     kax.set_yticks([])
     kax.set_xticks([lo, x_center, hi])
+    kax.set_xticklabels([f"{lo:.2f}", f"{x_center:.2f}", f"{hi:.2f}"])
     kax.tick_params(labelsize=5)
     kax.set_title("Distribution of Expression", fontsize=5)
 
