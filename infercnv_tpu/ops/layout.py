@@ -113,6 +113,31 @@ class BandedGeneOperator:
                 raise ValueError("band exceeds side_tiles")
             blocks[s + S, jt, rr, jc] = band[d, cols]
         self.blocks = blocks  # [2S+1, n_tiles, LANE(row of x tile j+s), LANE(col of y tile j)]
+        self._shifted = None
+
+    def shifted_blocks(self) -> np.ndarray:
+        """Half-lane-shifted weight layout for the K=256 Pallas kernel.
+
+        Valid when the band fits a 256-gene window shifted 64 left of each
+        output tile (halfband <= 64, side_tiles == 1):
+        w[j, k, c] = W[j*128 - 64 + k, j*128 + c], so
+        y[:, tile j] = xpad64[:, j*128 : j*128+256] @ w[j] — a single K=256
+        MXU contraction instead of three K=128 ones (2/3 the zero-padded
+        FLOPs of the [j-1, j, j+1] decomposition).
+        """
+        if self._shifted is not None:
+            return self._shifted
+        if self.side_tiles != 1 or self.halfband > 64:
+            raise ValueError("shifted layout requires halfband <= 64")
+        w = np.zeros((self.n_tiles, 2 * LANE, LANE), np.float32)
+        for k in range(2 * LANE):
+            off = k - 64                      # global row - j*128 = s*128+rr
+            s = (off + LANE) // LANE - 1
+            rr = off - s * LANE
+            if abs(s) <= self.side_tiles:
+                w[:, k, :] = self.blocks[s + self.side_tiles, :, rr, :]
+        self._shifted = w
+        return w
 
     def apply_np(self, x: np.ndarray) -> np.ndarray:
         """Reference application on host ([C, G] float64) for tests."""

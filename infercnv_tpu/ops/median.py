@@ -6,13 +6,21 @@ order-preserving uint32 key and radix-searching the 32 bits finds the k-th
 statistic exactly — numerically identical to numpy/R medians (exact float
 equality, no interpolation error).
 
-The search digit size trades HBM passes for VPU compares: 1 bit/pass = 32
-data reads (15.0 ms on the 8k x 8.5k chunk), 2 bits/pass = 16 reads with 3
-fused compare+reduce each (9.0 ms), 4 bits/pass = 8 reads x 15 compares
-(10.5 ms, compute-bound).  2 bits/pass is the measured optimum on v5e.
+Two implementations:
+
+* ``row_median`` — pure XLA.  The search digit size trades HBM passes for
+  VPU compares: 1 bit/pass = 32 data reads (15.0 ms on the 8k x 8.5k
+  chunk), 2 bits/pass = 16 reads with 3 fused compare+reduce each
+  (9.0 ms), 4 bits/pass = 8 reads x 15 compares (10.5 ms, compute-bound).
+  2 bits/pass is the measured optimum on v5e.
+* ``row_median_pallas`` — Pallas TPU kernel: a row tile is DMA'd to VMEM
+  once and ALL 16 radix passes run on-chip, turning 16 HBM sweeps into
+  one (2.9 ms on the same chunk; still exact).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -58,3 +66,87 @@ def row_median(v, bits_per_pass: int = 2) -> jax.Array:
     m = jnp.max(jnp.where(key < v2, key, jnp.uint32(0)), axis=-1, keepdims=True)
     v1 = jnp.where(cnt_lt < k2, v2, m)
     return ((_from_key(v1) + _from_key(v2)) * 0.5)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: whole radix select in VMEM, one HBM read.
+# ---------------------------------------------------------------------------
+
+LANE = 128
+_TILE_R = 128  # rows per kernel instance; x + key + temps stay in VMEM
+
+
+def _median_kernel(x_ref, out_ref, *, n, D):
+    """x_ref: [R, Gp] f32 (cols >= n hold +inf); out_ref: [R, 128] f32
+    (median broadcast across lanes; caller reads lane 0)."""
+    x = x_ref[:, :]
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (u >> 31) == 1
+    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+    R = x.shape[0]
+    k2 = n // 2  # 0-based upper-middle order statistic
+    res = jnp.zeros((R, 1), jnp.uint32)
+    T = (1 << D) - 1
+    for p in range(32 // D - 1, -1, -1):
+        shift = p * D
+        best = res
+        for j in range(1, T + 1):
+            cand = res | jnp.uint32(j << shift)
+            cnt = jnp.sum((key < cand).astype(jnp.int32), axis=-1,
+                          keepdims=True)
+            best = jnp.where(cnt <= k2, cand, best)
+        res = best
+    v2 = res
+    if n % 2 == 1:
+        med = _from_key(v2)
+    else:
+        cnt_lt = jnp.sum((key < v2).astype(jnp.int32), axis=-1, keepdims=True)
+        # Mosaic has no unsigned max reduction: flip the sign bit for an
+        # order-preserving int32 view, max there, flip back
+        ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000),
+                                            jnp.int32)
+        mi = jnp.max(jnp.where(key < v2, ikey, jnp.int32(-2147483648)),
+                     axis=-1, keepdims=True)
+        m = (jax.lax.bitcast_convert_type(mi, jnp.uint32)
+             ^ jnp.uint32(0x80000000))
+        v1 = jnp.where(cnt_lt < k2, v2, m)
+        med = (_from_key(v1) + _from_key(v2)) * 0.5
+    out_ref[:, :] = jnp.broadcast_to(med, (R, LANE))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_median_pallas(v, interpret: bool = False) -> jax.Array:
+    """Exact row median of a [C, G] float32 array as one Pallas pass.
+
+    Identical results to ``row_median``/``numpy.median``.  The row tile
+    lives in VMEM for all 16 radix passes, so HBM sees the data once
+    (~3x the XLA variant's throughput on v5e).  ``interpret=True`` runs
+    the kernel interpreted off-TPU (tests)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    v = jnp.asarray(v, jnp.float32)
+    C, G = v.shape
+    tile_r = _TILE_R if C >= _TILE_R else max(8, -(-C // 8) * 8)
+    padc = (-C) % tile_r
+    padg = (-G) % LANE
+    vp = jnp.pad(v, ((0, padc), (0, padg)), constant_values=jnp.inf)
+    Cp, Gp = vp.shape
+    kwargs = {}
+    if not interpret:
+        # x + uint32 key + compare temps exceed the default 16 MB scoped
+        # vmem at this tile size; 32 MB is measured fastest on v5e
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_median_kernel, n=G, D=2),
+        out_shape=jax.ShapeDtypeStruct((Cp, LANE), jnp.float32),
+        grid=(Cp // tile_r,),
+        in_specs=[pl.BlockSpec((tile_r, Gp), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_r, LANE), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(vp)
+    return out[:C, 0]

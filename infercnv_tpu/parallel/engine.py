@@ -125,6 +125,11 @@ class CnvEngine:
                 "runmeans" if config.smooth_method == "runmeans" else "pyramidinal")
         self._blocks = jnp.asarray(op.blocks)
         self._op_meta = (op.n_tiles, op.side_tiles, op.num_genes)
+        # half-shifted K=256 weight layout for the Pallas smooth kernel
+        # (single MXU contraction per output tile; see layout.shifted_blocks)
+        self._w_shifted = (jnp.asarray(op.shifted_blocks())
+                           if op.side_tiles == 1 and op.halfband <= 64
+                           else None)
         gather, valid, boundaries, Lmax = _pack_indices(gene_order)
         self._gather = jnp.asarray(gather)
         self._valid = jnp.asarray(valid)
@@ -211,14 +216,26 @@ class CnvEngine:
     # ------------------------------------------------------------------
 
     def _smooth(self, x):
+        n_tiles, side_tiles, num_genes = self._op_meta
+        if self.use_pallas:
+            if self._w_shifted is not None:
+                from infercnv_tpu.ops.smoothing import _apply_banded_pallas_k256
+
+                return _apply_banded_pallas_k256(
+                    x, self._w_shifted, n_tiles, side_tiles, num_genes,
+                    self._pallas_interpret)
+            from infercnv_tpu.ops.smoothing import _apply_banded_pallas_sides
+
+            return _apply_banded_pallas_sides(
+                x, self._blocks, n_tiles, side_tiles, num_genes,
+                self._pallas_interpret)
         from infercnv_tpu.ops.smoothing import _apply_banded
 
-        n_tiles, side_tiles, num_genes = self._op_meta
         return _apply_banded(x, self._blocks, n_tiles, side_tiles, num_genes)
 
     def _residual(self, counts, norm_factor, ref_means_log, ref_means_resid):
         cfg = self.config
-        from infercnv_tpu.ops.median import row_median
+        from infercnv_tpu.ops.median import row_median, row_median_pallas
 
         cs = jnp.sum(counts, axis=1, keepdims=True)
         x = jnp.log2(counts / cs * norm_factor + 1.0)
@@ -226,7 +243,13 @@ class CnvEngine:
         x = jnp.clip(x, -cfg.max_centered_threshold, cfg.max_centered_threshold)
         x = self._smooth(x)
         if cfg.center_method == "median":
-            x = x - row_median(x)[:, None]  # exact, radix-select (no sort)
+            # exact radix-select (no sort); the Pallas kernel keeps all 16
+            # radix passes in VMEM (1 HBM sweep instead of 16)
+            if self.use_pallas:
+                med = row_median_pallas(x, interpret=self._pallas_interpret)
+            else:
+                med = row_median(x)
+            x = x - med[:, None]
         else:
             x = x - jnp.mean(x, axis=1, keepdims=True)
         x = self._subtract(x, ref_means_resid)

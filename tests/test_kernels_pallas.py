@@ -1,0 +1,93 @@
+"""Interpret-mode tests for the Pallas median and banded-smooth kernels.
+
+These run the kernels through the Pallas interpreter on CPU (exact same
+kernel code the TPU compiles); tests/test_tpu_hardware.py additionally
+compile-checks them on a real chip when INFERCNV_TPU_HW_TESTS=1.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from infercnv_tpu.core.genome import GeneOrder
+from infercnv_tpu.ops.layout import coordinate_smoothing_operator, smoothing_operator
+from infercnv_tpu.ops.median import row_median, row_median_pallas
+from infercnv_tpu.ops.smoothing import (
+    apply_banded_operator,
+    apply_banded_operator_pallas,
+)
+
+
+def _gene_order(lens):
+    G = sum(lens)
+    return GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=tuple(f"chr{i+1}" for i in range(len(lens))),
+        chr_ids=np.repeat(np.arange(len(lens)), lens).astype(np.int32),
+        start=np.arange(G, dtype=np.int64) * 1000,
+        stop=np.arange(G, dtype=np.int64) * 1000 + 500,
+    )
+
+
+def test_row_median_pallas_exact(rng):
+    for (C, G) in [(4, 9), (5, 10), (17, 131), (40, 257), (3, 2)]:
+        x = rng.normal(size=(C, G)).astype(np.float32) * 10
+        x[0, : G // 2] = -x[0, : G // 2]          # negatives cross zero
+        x[1] = 0.0                                 # all-equal row
+        got = np.asarray(row_median_pallas(jnp.asarray(x), interpret=True))
+        want = np.median(x, axis=1)
+        assert np.array_equal(got, want), (C, G)
+        # and agrees with the XLA radix path bit-for-bit
+        assert np.array_equal(got, np.asarray(row_median(jnp.asarray(x))))
+
+
+def test_row_median_pallas_ties_and_inf(rng):
+    x = rng.integers(-3, 4, size=(11, 64)).astype(np.float32)  # heavy ties
+    got = np.asarray(row_median_pallas(jnp.asarray(x), interpret=True))
+    assert np.array_equal(got, np.median(x, axis=1))
+
+
+def test_banded_pallas_k256_matches_xla(rng):
+    go = _gene_order([300, 150, 80, 41, 1, 2])
+    op = smoothing_operator(go, 101, "pyramidinal")
+    assert op.side_tiles == 1 and op.halfband <= 64  # K=256 fast path
+    x = rng.normal(size=(37, go.num_genes)).astype(np.float32)
+    got = np.asarray(apply_banded_operator_pallas(x, op, interpret=True))
+    want = np.asarray(apply_banded_operator(x, op))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # float64 host reference (ground truth band application)
+    np.testing.assert_allclose(got, op.apply_np(x.astype(np.float64)),
+                               atol=1e-5)
+
+
+def test_banded_pallas_generic_sides(rng):
+    # a bp-coordinate operator with a wide band exercises the generic
+    # (2S+1)-input kernel
+    go = _gene_order([120, 60, 30])
+    op = coordinate_smoothing_operator(go, 200_000)
+    x = rng.normal(size=(12, go.num_genes)).astype(np.float32)
+    got = np.asarray(apply_banded_operator_pallas(x, op, interpret=True))
+    want = np.asarray(apply_banded_operator(x, op))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_engine_pallas_interpret_matches_xla(rng):
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    go = _gene_order([200, 90, 50, 2, 1])
+    hmm = HMMParams(means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+                    sds=np.array([0.15, 0.18, 0.12, 0.2, 0.22, 0.3]), t=1e-6)
+    cfg = EngineConfig(denoise=True, sd_amplifier=1.5)
+    eng_p = CnvEngine(go, hmm, cfg, use_pallas=True)   # interpret on CPU
+    eng_x = CnvEngine(go, hmm, cfg, use_pallas=False)
+    gm = rng.gamma(2.0, 30.0, go.num_genes).astype(np.float32)
+    counts = rng.poisson(gm[None, :], (64, go.num_genes)).astype(np.float32)
+    refc = rng.poisson(gm[None, :], (32, go.num_genes)).astype(np.float32)
+    nf = float(np.median(counts.sum(axis=1)))
+    ml, mr, nb = eng_p.ref_stats(refc, nf)
+    tp = np.asarray(eng_p.transform_chunk(counts, nf, ml, mr))
+    tx = np.asarray(eng_x.transform_chunk(counts, nf, ml, mr))
+    np.testing.assert_allclose(tp, tx, atol=1e-5)
+    _, sp = eng_p.full_chunk(counts, nf, ml, mr, nb)
+    _, sx = eng_x.full_chunk(counts, nf, ml, mr, nb)
+    assert np.array_equal(np.asarray(sp), np.asarray(sx))

@@ -46,6 +46,19 @@ assert not engine._pallas_interpret, "expected compiled (non-interpret) kernel o
 got = np.asarray(engine._viterbi(jnp.asarray(resid)))
 exp = viterbi_per_group(resid, go, hmm)
 assert np.array_equal(got, exp), "TPU-compiled Pallas Viterbi != reference path"
+
+# median + banded-smooth kernels, compiled (interpret=False)
+from infercnv_tpu.ops.median import row_median_pallas
+from infercnv_tpu.ops.smoothing import (apply_banded_operator,
+                                        apply_banded_operator_pallas)
+from infercnv_tpu.ops.layout import smoothing_operator
+x = rng.normal(size=(300, G)).astype(np.float32)
+med = np.asarray(row_median_pallas(jnp.asarray(x)))
+assert np.array_equal(med, np.median(x, axis=1)), "TPU Pallas median inexact"
+op = smoothing_operator(go, 101, "pyramidinal")
+sm = np.asarray(apply_banded_operator_pallas(jnp.asarray(x), op))
+ref = np.asarray(apply_banded_operator(jnp.asarray(x), op))
+assert np.abs(sm - ref).max() < 1e-6, "TPU Pallas smooth != XLA banded"
 print("TPU_PALLAS_OK")
 """
 
