@@ -4,7 +4,8 @@
 v5e); the median only needs two order statistics.  Mapping float32 to its
 order-preserving uint32 key and radix-searching the 32 bits finds the k-th
 statistic exactly — numerically identical to numpy/R medians (exact float
-equality, no interpolation error).
+equality, no interpolation error) for all normal float32 inputs; subnormal
+inputs are flushed to zero (TPU FTZ), identically in both paths below.
 
 Two implementations:
 
@@ -74,6 +75,21 @@ def row_median(v, bits_per_pass: int = 2) -> jax.Array:
 
 LANE = 128
 _TILE_R = 128  # rows per kernel instance; x + key + temps stay in VMEM
+_VMEM_BUDGET = 28 * 1024 * 1024  # keep under the 32 MB vmem_limit_bytes
+_BYTES_PER_ELT = 12  # f32 x + uint32 key + compare temps per element
+
+
+def _pick_tile_r(C: int, Gp: int) -> int:
+    """Largest row-tile (multiple of 8, <= _TILE_R) whose VMEM footprint
+    (~12 bytes/element) fits the budget; 0 if even 8 rows do not fit —
+    the caller then falls back to the XLA row_median."""
+    cap = _VMEM_BUDGET // (_BYTES_PER_ELT * Gp)
+    tile = min(_TILE_R, (cap // 8) * 8)
+    if C < tile:
+        tile = max(8, -(-C // 8) * 8)
+        if _BYTES_PER_ELT * tile * Gp > _VMEM_BUDGET:
+            return 0
+    return tile if tile >= 8 else 0
 
 
 def _median_kernel(x_ref, out_ref, *, n, D):
@@ -118,16 +134,23 @@ def _median_kernel(x_ref, out_ref, *, n, D):
 def row_median_pallas(v, interpret: bool = False) -> jax.Array:
     """Exact row median of a [C, G] float32 array as one Pallas pass.
 
-    Identical results to ``row_median``/``numpy.median``.  The row tile
-    lives in VMEM for all 16 radix passes, so HBM sees the data once
-    (~3x the XLA variant's throughput on v5e).  ``interpret=True`` runs
-    the kernel interpreted off-TPU (tests)."""
+    Bit-identical to ``row_median`` (and to numpy.median for all normal
+    float32 inputs; subnormal values are flushed to zero by both TPU
+    paths, which keeps the two implementations mutually exact but not
+    numpy-identical on subnormals).  The row tile lives in VMEM for all
+    16 radix passes, so HBM sees the data once (~3x the XLA variant's
+    throughput on v5e).  The row tile shrinks as G grows to stay inside
+    the VMEM budget; when even an 8-row tile cannot fit (G beyond
+    ~290k), this transparently falls back to the XLA ``row_median``.
+    ``interpret=True`` runs the kernel interpreted off-TPU (tests)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     v = jnp.asarray(v, jnp.float32)
     C, G = v.shape
-    tile_r = _TILE_R if C >= _TILE_R else max(8, -(-C // 8) * 8)
+    tile_r = _pick_tile_r(C, G + ((-G) % LANE))
+    if tile_r == 0:
+        return row_median(v)
     padc = (-C) % tile_r
     padg = (-G) % LANE
     vp = jnp.pad(v, ((0, padc), (0, padg)), constant_values=jnp.inf)

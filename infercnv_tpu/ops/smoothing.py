@@ -137,7 +137,15 @@ def _apply_banded_pallas_sides(x, blocks, n_tiles: int, side_tiles: int,
     C = x.shape[0]
     S = side_tiles
     n_side = 2 * S + 1
-    tile_r = _TILE_R if C >= _TILE_R else max(8, -(-C // 8) * 8)
+    # VMEM: (n_side input + 1 output) double-buffered [tile_r, 128] f32
+    # blocks plus the [n_side, 128, 128] weight tile; bound tile_r so a
+    # wide coordinate-smoothing band (large side_tiles) stays inside the
+    # default scoped-VMEM budget instead of failing to compile.
+    budget = 12 * 1024 * 1024
+    cap = budget // (2 * (n_side + 1) * LANE * 4)
+    tile_r = min(_TILE_R, max(8, (cap // 8) * 8))
+    if C < tile_r:
+        tile_r = max(8, -(-C // 8) * 8)
     padc = (-C) % tile_r
     padded = n_tiles * LANE
     xp = jnp.zeros((C + padc, S * LANE + padded + S * LANE), jnp.float32)

@@ -32,11 +32,42 @@ from infercnv_tpu.subcluster.pca import pca_embed
 from infercnv_tpu.utils.logging import log_info, log_warn
 
 
+#: Above this many cells a group's stored dendrogram is built on subcluster
+#: mean profiles instead of per-cell distances: the O(n^2) condensed
+#: distance vector alone would be ~40 GB at 100k cells, and the per-cell
+#: tree is only ever used for plot ordering (which the subcluster blocks
+#: already provide).  The reference has no such guard and simply cannot
+#: reach this scale (parallelDist + hclust, inferCNV_tumor_subclusters.R:582).
+LINKAGE_MAX_CELLS = 8000
+
+
 def ward_linkage(x_cg: np.ndarray) -> np.ndarray:
     """hclust(dist(x), 'ward.D2') equivalent: scipy 'ward' on euclidean."""
     if x_cg.shape[0] < 2:
         raise ValueError("need >= 2 cells for linkage")
     return hierarchy.linkage(condensed_dists(x_cg), method="ward")
+
+
+def _group_linkage_scalable(expr_sub: np.ndarray,
+                            subclusters: Dict[str, np.ndarray],
+                            group_idx: np.ndarray) -> Optional[np.ndarray]:
+    """Per-cell Ward tree for small groups; Ward tree over subcluster mean
+    profiles above LINKAGE_MAX_CELLS (plot ordering only needs the
+    between-subcluster structure; within-subcluster order comes from the
+    heatmap's own block ordering)."""
+    n = expr_sub.shape[0]
+    if n <= LINKAGE_MAX_CELLS:
+        return ward_linkage(expr_sub) if n >= 2 else None
+    pos = {int(c): i for i, c in enumerate(group_idx)}
+    profiles = np.stack([
+        expr_sub[[pos[int(c)] for c in sidx]].mean(axis=0)
+        for sidx in subclusters.values()
+    ])
+    if profiles.shape[0] < 2:
+        return None
+    log_info(f"-group of {n} cells > {LINKAGE_MAX_CELLS}: storing dendrogram "
+             f"over {profiles.shape[0]} subcluster mean profiles")
+    return ward_linkage(profiles)
 
 
 def _cut_groups_ordered(Z: np.ndarray, height: float) -> np.ndarray:
@@ -105,7 +136,7 @@ def _single_tumor_leiden_subclustering(
     order = labels[np.argsort(-counts, kind="stable")]
     for lab in order:
         subclusters[f"{group_name}_s{lab + 1}"] = group_idx[part == lab]
-    Z = ward_linkage(expr_sub) if n >= 2 else None
+    Z = _group_linkage_scalable(expr_sub, subclusters, group_idx)
     return Z, subclusters
 
 
@@ -120,6 +151,10 @@ def _single_tumor_hclust_subclustering(
     n = group_idx.shape[0]
     if n <= 2:
         return None, {f"{group_name}_s1": group_idx}
+    if n > LINKAGE_MAX_CELLS:
+        log_warn(f"hclust partition ({partition_method}) on {n} cells is "
+                 f"O(n^2) in time and memory; use partition_method='leiden' "
+                 "at this scale")
     Z = ward_linkage(expr_sub)
     heights = Z[:, 2]
     if partition_method == "pheight":

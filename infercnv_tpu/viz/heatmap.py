@@ -58,12 +58,37 @@ CHR_BAR_COLORS = [
 ]
 
 
+#: Per-block row-ordering switches from O(n^2) Ward linkage to a 1-D
+#: principal-component ordering above this many cells (the drawn dendrogram
+#: is omitted for such blocks; the reference leans on useRaster at scale,
+#: inst/NEWS:164, but still pays the hclust).
+ORDER_LINKAGE_MAX = 3000
+
+
+def _pc1_order(x_cg: np.ndarray, iters: int = 12, seed: int = 0) -> np.ndarray:
+    """Row order by projection onto the first principal component — an
+    O(n*G) stand-in for dendrogram leaf order on very large panes (rows with
+    similar CNV profiles still land next to each other)."""
+    x = np.asarray(x_cg, np.float32)
+    x = x - x.mean(axis=0, keepdims=True)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(x.shape[1]).astype(np.float32)
+    for _ in range(iters):
+        v = x.T @ (x @ v)
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            return np.arange(x.shape[0])
+        v /= nv
+    return np.argsort(x @ v, kind="stable")
+
+
 def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
                       cluster: bool):
     """Row ordering within one group plus the dendrogram that produced it:
     stored subcluster structure first (largest subcluster leading, as the
     reference's stitched dendrograms, subclusters joined at raised roots),
-    each ordered by ward-linkage leaf order; else fresh hclust.
+    each ordered by ward-linkage leaf order (PC1 order above
+    ORDER_LINKAGE_MAX cells); else fresh hclust.
 
     Returns (order_indices, merged_linkage_or_None)."""
     if idx.size <= 2 or not cluster:
@@ -81,7 +106,10 @@ def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
         block_Z = []
         for _name, sidx in sorted(subs.items(), key=lambda kv: -len(kv[1])):
             sidx = np.asarray(sidx)
-            if sidx.size > 2:
+            if sidx.size > ORDER_LINKAGE_MAX:
+                block_idx.append(sidx[_pc1_order(obj.expr[sidx])])
+                block_Z.append(None)
+            elif sidx.size > 2:
                 Z = hierarchy.linkage(condensed_dists(obj.expr[sidx]), method="ward")
                 block_idx.append(sidx[hierarchy.leaves_list(Z)])
                 block_Z.append(Z)
@@ -96,8 +124,35 @@ def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
             leaves = hierarchy.leaves_list(Zm)
             return concat[leaves], Zm
         return concat, None
+    if idx.size > ORDER_LINKAGE_MAX:
+        return idx[_pc1_order(obj.expr[idx])], None
     Z = hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
     return idx[hierarchy.leaves_list(Z)], Z
+
+
+def _downsample_rows(mat: np.ndarray, group_sizes: List[Tuple[str, int]],
+                     max_rows: int):
+    """Mean-aggregate consecutive rows (within group boundaries, so
+    separators stay exact) down to <= max_rows display rows — the raster
+    step the reference gets from image(useRaster=TRUE) (inst/NEWS:164),
+    done explicitly so a 10^5-10^6-row pane renders in seconds.
+
+    Returns (matrix, new_group_sizes, was_downsampled)."""
+    n = mat.shape[0]
+    if n <= max_rows:
+        return mat, group_sizes, False
+    out_blocks = []
+    new_sizes: List[Tuple[str, int]] = []
+    acc = 0
+    for g, size in group_sizes:
+        block = mat[acc:acc + size]
+        nb = min(size, max(1, int(round(max_rows * size / n))))
+        edges = np.linspace(0, size, nb + 1).astype(int)
+        down = np.add.reduceat(block, edges[:-1], axis=0) / np.diff(edges)[:, None]
+        out_blocks.append(down.astype(np.float32))
+        new_sizes.append((g, nb))
+        acc += size
+    return np.concatenate(out_blocks), new_sizes, True
 
 
 def _bp_scale_matrix(data: np.ndarray, gene_order, chr_lengths=None,
@@ -164,6 +219,7 @@ def plot_cnv(
     obs_title: str = "Observations (Cells)",
     ref_title: str = "References (Cells)",
     dynamic_resize: float = 0.0,
+    max_pane_rows: int = 2000,
 ) -> Optional[str]:
     """Render the heatmap; returns the output image path.
 
@@ -253,10 +309,20 @@ def plot_cnv(
     ax_chr = fig.add_subplot(gs[0, 1])
     ax_obs = fig.add_subplot(gs[1, 1])
     ax_obs_dend = fig.add_subplot(gs[1, 0])
-    ax_ref = fig.add_subplot(gs[2, 1]) if have_ref else None
-    ax_ref_dend = fig.add_subplot(gs[2, 0]) if have_ref else None
+    # each reference group gets its OWN pane with its own dendrogram
+    # (reference .plot_cnv_references draws per-group panes,
+    # inferCNV_heatmap.R:985+), heights proportional to group size
+    ref_axes: List = []
+    ref_dend_axes: List = []
+    if have_ref:
+        hr = [max(int(s), 1) for (_g, s) in ref_group_sizes]
+        sub = gs[2, 1].subgridspec(len(ref_order), 1, hspace=0.08,
+                                   height_ratios=hr)
+        subd = gs[2, 0].subgridspec(len(ref_order), 1, hspace=0.08,
+                                    height_ratios=hr)
+        ref_axes = [fig.add_subplot(sub[i]) for i in range(len(ref_order))]
+        ref_dend_axes = [fig.add_subplot(subd[i]) for i in range(len(ref_order))]
     fig.add_subplot(gs[0, 0]).axis("off")
-    axes = [ax_chr, ax_obs] + ([ax_ref] if have_ref else [])
 
     # chromosome bar
     from matplotlib.colors import ListedColormap
@@ -293,23 +359,24 @@ def plot_cnv(
     cmap = custom_color_pal or color_palette(color_safe_pal)
     norm = Normalize(vmin=lo, vmax=hi)
 
-    def pane(ax, rows, group_sizes, label):
-        if rows.size == 0:
+    def pane(ax, mat, group_sizes, label):
+        if mat.shape[0] == 0:
             ax.axis("off")
             return
-        ax.imshow(disp[rows][::-1], aspect="auto", cmap=cmap, norm=norm,
+        ax.imshow(mat[::-1], aspect="auto", cmap=cmap, norm=norm,
                   interpolation="nearest")
         for b in boundaries[1:]:
             ax.axvline(b - 0.5, color="black", lw=0.4)
         acc = 0
-        n = rows.size
+        n = mat.shape[0]
         for (_g, size) in group_sizes[:-1]:
             acc += size
             ax.axhline(n - acc - 0.5, color="black", lw=0.6)
         ax.set_yticks([])
         ax.set_xticks([])
-        ax.set_ylabel(label, fontsize=8)
-        ax.yaxis.set_label_coords(-0.075, 0.5)
+        if label:
+            ax.set_ylabel(label, fontsize=8)
+            ax.yaxis.set_label_coords(-0.075, 0.5)
         # group labels on the right
         W = disp.shape[1]
         acc = 0
@@ -318,9 +385,17 @@ def plot_cnv(
                     fontsize=5, va="center", ha="left", clip_on=False)
             acc += size
 
-    pane(ax_obs, obs_idx, obs_group_sizes, obs_title)
+    obs_mat, obs_sizes_d, obs_down = _downsample_rows(
+        disp[obs_idx], obs_group_sizes, max_pane_rows)
+    pane(ax_obs, obs_mat, obs_sizes_d, obs_title)
+    ref_down = False
     if have_ref:
-        pane(ax_ref, ref_idx, ref_group_sizes, ref_title)
+        for i, (o, (g, size)) in enumerate(zip(ref_order, ref_group_sizes)):
+            m, sz_d, down_i = _downsample_rows(disp[o], [(g, size)],
+                                               max(64, max_pane_rows // 4))
+            ref_down = ref_down or down_i
+            pane(ref_axes[i], m, sz_d,
+                 ref_title if i == (len(ref_order) - 1) // 2 else "")
 
     # dendrogram side panels (reference draws the row trees beside each pane)
     from infercnv_tpu.viz.dendro import draw_linkage
@@ -337,9 +412,14 @@ def plot_cnv(
         ax.set_xlim(0, 1)
         ax.set_ylim(0, n_rows)
 
-    dendro_panel(ax_obs_dend, obs_linkages, obs_group_sizes, n_obs)
+    # downsampled panes have no 1:1 row mapping for the tree leaves
+    dendro_panel(ax_obs_dend, obs_linkages if not obs_down else [],
+                 obs_group_sizes if not obs_down else [], n_obs)
     if have_ref:
-        dendro_panel(ax_ref_dend, ref_linkages, ref_group_sizes, n_ref)
+        for i, (Zr, (g, size)) in enumerate(zip(ref_linkages, ref_group_sizes)):
+            dendro_panel(ref_dend_axes[i],
+                         [Zr] if not ref_down else [],
+                         [(g, size)] if not ref_down else [], size)
 
     # color key with value-density histogram (the vendored heatmap.cnv key,
     # reference inferCNV_heatmap.R:1461-1474, density.info='histogram')
