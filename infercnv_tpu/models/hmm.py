@@ -267,15 +267,58 @@ def pack_by_chromosome(x_bg: np.ndarray, gene_order: GeneOrder):
     )
 
 
+# jit cache for the packed-Viterbi runners: (layout id, HMM param bytes,
+# backend flags) -> compiled callable.  A fresh jax.jit per call would
+# re-trace every invocation; this keeps one compiled program per
+# (genome, parameterization) as the reference pipeline re-enters step 17.
+_PACKED_RUNNERS: dict = {}
+
+
+def _packed_runner(layout, params: HMMParams, use_pallas: bool,
+                   interpret: bool, unroll: int):
+    key = (id(layout), params.means.tobytes(), params.sds.tobytes(),
+           params.t, use_pallas, interpret, unroll)
+    fn = _PACKED_RUNNERS.get(key)
+    if fn is None:
+        from infercnv_tpu.ops.viterbi_pack import viterbi_packed
+
+        means = jnp.asarray(params.means, jnp.float32)
+        log_pi = jnp.asarray(params.log_pi(), jnp.float32)
+        log_delta = jnp.asarray(np.log(params.delta()), jnp.float32)
+        hmm_means = np.asarray(params.means)
+        t = params.t
+
+        def run(x, sigma_rows):
+            return viterbi_packed(
+                x, layout, means, sigma_rows, log_pi, log_delta,
+                hmm_means, t, use_pallas=use_pallas, interpret=interpret,
+                unroll=unroll)
+
+        fn = jax.jit(run)
+        if len(_PACKED_RUNNERS) > 64:
+            _PACKED_RUNNERS.clear()
+        _PACKED_RUNNERS[key] = fn
+    return fn
+
+
 def viterbi_per_group(
     x_bg: np.ndarray,
     gene_order: GeneOrder,
     params: HMMParams,
     group_sds: Optional[np.ndarray] = None,
+    impl: str = "packed",
 ) -> np.ndarray:
     """Run Viterbi for each row of x_bg ([B, G] of per-cell or per-group mean
     expression), per chromosome.  group_sds: optional [B, S] per-row state
     sds (per-subcluster scaling); defaults to params.sds for every row.
+
+    impl='packed' (default): the shared bin-packed implementation
+    (ops/viterbi_pack.py — chromosomes first-fit packed into bins with
+    chain restarts, Pallas kernel on TPU) that the streaming engine also
+    runs; sequential scan length is ~sum(chr lengths) instead of the
+    per-chromosome padding's n_chr * max(chr length) (~2x on a human
+    genome).  impl='perchr': the independent per-chromosome-padded scan,
+    kept as a cross-check (tests assert both agree).
 
     Returns 1-based state matrix [B, G].  Chromosomes with < 2 genes get the
     neutral state (reference Viterbi.dthmm.adj :1104-1107).
@@ -285,6 +328,16 @@ def viterbi_per_group(
     if group_sds is None:
         group_sds = np.broadcast_to(params.sds[None, :], (B, S))
     sigma_rows = np.median(group_sds, axis=1)  # median collapse (:1122)
+
+    if impl == "packed":
+        from infercnv_tpu.ops.viterbi_pack import default_flags, get_layout
+
+        layout = get_layout(gene_order)
+        use_pallas, interpret, unroll = default_flags()
+        fn = _packed_runner(layout, params, use_pallas, interpret, unroll)
+        states = fn(jnp.asarray(x_bg, jnp.float32),
+                    jnp.asarray(sigma_rows, jnp.float32))
+        return np.asarray(states, np.int32)
 
     xp, mask, ranges = pack_by_chromosome(x_bg, gene_order)
     n_chr = len(ranges)

@@ -28,6 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from infercnv_tpu.core.genome import GeneOrder
 from infercnv_tpu.models.hmm import HMMParams
 from infercnv_tpu.ops.layout import smoothing_operator
+from infercnv_tpu.ops.viterbi_pack import (
+    PackedLayout,
+    pack_indices as _pack_indices,  # re-export (tests/test_parallel.py)
+    viterbi_packed,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,47 +45,6 @@ class EngineConfig:
     denoise: bool = True
     sd_amplifier: float = 1.5
     hmm_t: float = 1e-6
-
-
-def _pack_indices(gene_order: GeneOrder) -> Tuple[np.ndarray, np.ndarray,
-                                                  np.ndarray, int]:
-    """Bin-pack chromosomes into padded sequences for the batched Viterbi.
-
-    Naive per-chromosome padding runs n_chr * Lmax sequential scan steps
-    per cell (~2x the real gene count on a human genome: 22 x len(chr1));
-    instead, first-fit-decreasing packs whole chromosomes into bins of
-    capacity Lmax and the Viterbi restarts its chain at each chromosome
-    start inside a bin (exact same per-chromosome results).
-
-    Returns (gather_idx [n_bins, Lmax], valid [n_bins, Lmax],
-    boundaries [n_bins, Lmax], Lmax).
-    """
-    ranges = [r for r in gene_order.chr_ranges() if r[1] > r[0]]
-    Lmax = max(e - b for (b, e) in ranges)
-    order = sorted(range(len(ranges)),
-                   key=lambda i: ranges[i][1] - ranges[i][0], reverse=True)
-    bins: list = []       # list of (used, [range, ...])
-    for i in order:
-        n = ranges[i][1] - ranges[i][0]
-        for bi, (used, members) in enumerate(bins):
-            if used + n <= Lmax:
-                bins[bi] = (used + n, members + [ranges[i]])
-                break
-        else:
-            bins.append((n, [ranges[i]]))
-    n_bins = len(bins)
-    gather = np.zeros((n_bins, Lmax), np.int32)
-    valid = np.zeros((n_bins, Lmax), bool)
-    boundaries = np.zeros((n_bins, Lmax), np.int8)
-    for bi, (_used, members) in enumerate(bins):
-        pos = 0
-        for (b, e) in members:
-            n = e - b
-            gather[bi, pos:pos + n] = np.arange(b, e)
-            valid[bi, pos:pos + n] = True
-            boundaries[bi, pos] = 1
-            pos += n
-    return gather, valid, boundaries, Lmax
 
 
 class CnvEngine:
@@ -130,24 +94,9 @@ class CnvEngine:
         self._w_shifted = (jnp.asarray(op.shifted_blocks())
                            if op.side_tiles == 1 and op.halfband <= 64
                            else None)
-        gather, valid, boundaries, Lmax = _pack_indices(gene_order)
-        self._gather = jnp.asarray(gather)
-        self._valid = jnp.asarray(valid)
-        self._boundaries = jnp.asarray(boundaries)
-        self._Lmax = Lmax
-        # genes on <2-gene chromosomes get the neutral state (reference
-        # Viterbi.dthmm.adj R/inferCNV_HMM.R:1104-1107)
-        short = [np.arange(b, e) for (b, e) in gene_order.chr_ranges()
-                 if 0 < e - b < 2]
-        self._short_genes = (np.concatenate(short).astype(np.int32)
-                             if short else None)
-        # inverse map: gene g -> its flat position in the packed layout, so
-        # unpacking is a gather (TPU scatters serialize on duplicate indices)
-        inv = np.zeros(gene_order.num_genes, np.int32)
-        flat = gather.reshape(-1)
-        fvalid = valid.reshape(-1)
-        inv[flat[fvalid]] = np.nonzero(fvalid)[0]
-        self._inv_pack = jnp.asarray(inv)
+        # chromosome bin-packing + unpack map (shared with models/hmm.py —
+        # ops/viterbi_pack.py is the single Viterbi implementation)
+        self._layout = PackedLayout.from_gene_order(gene_order)
         self._means = jnp.asarray(hmm.means, jnp.float32)
         self._log_pi = jnp.asarray(hmm.log_pi(), jnp.float32)
         self._log_delta = jnp.asarray(np.log(hmm.delta()), jnp.float32)
@@ -272,101 +221,20 @@ class CnvEngine:
         return x - jnp.mean(grp_means, axis=0)
 
     def _viterbi(self, resid, sigma_rows=None):
-        """Per-cell Viterbi over bin-packed chromosomes.  resid: [C, G];
-        sigma_rows: optional [C] per-row emission sigma (subcluster-mode rows
-        carry the hspike cell-count-trend sigma; per-cell mode uses the
-        median hspike sigma).
-
-        TPU layout note: the batch axis (cells x bins) lives on the LAST
-        (lane) dimension of every tensor in the scan — with the tiny state
-        axis (S=6) leading, each op keeps all 128 lanes busy instead of
-        wasting 95% of the VPU on an S-minor layout.  Chromosomes are
-        first-fit packed into bins (see _pack_indices) so the sequential
-        scan length is ~sum(chr lengths), not n_chr * max(chr length).
-        """
+        """Per-cell Viterbi over bin-packed chromosomes (the shared
+        ops/viterbi_pack.py implementation).  resid: [C, G]; sigma_rows:
+        optional [C] per-row emission sigma (subcluster-mode rows carry the
+        hspike cell-count-trend sigma; per-cell mode uses the median hspike
+        sigma)."""
         C = resid.shape[0]
-        S = self._means.shape[0]
-        xp = resid[:, self._gather]          # [C, n_bins, Lmax]
-        n_bins = xp.shape[1]
-        B = C * n_bins
         if sigma_rows is None:
-            sigma_b = jnp.full((B,), self._sigma, jnp.float32)
-        else:
-            sigma_b = jnp.repeat(jnp.asarray(sigma_rows, jnp.float32), n_bins)
-        if self.use_pallas:
-            from infercnv_tpu.ops.viterbi_pallas import viterbi_pallas
-
-            lengths = jnp.tile(jnp.sum(self._valid, axis=1).astype(jnp.int32), C)
-            bnd = jnp.tile(self._boundaries, (C, 1))
-            states = viterbi_pallas(xp.reshape(B, self._Lmax), lengths, sigma_b,
-                                    np.asarray(self.hmm.means), self.hmm.t,
-                                    boundaries=bnd,
-                                    interpret=self._pallas_interpret)
-            vals = states.reshape(C, n_bins * self._Lmax)
-            return self._force_short_neutral(
-                vals[:, self._inv_pack].astype(jnp.int8), S)
-        xl = xp.reshape(B, self._Lmax).T     # [L, B]
-        mask = jnp.broadcast_to(self._valid[None], (C, n_bins, self._Lmax))
-        mask = mask.reshape(B, self._Lmax).T  # [L, B]
-        bndm = jnp.tile(self._boundaries != 0, (C, 1)).T  # [L, B]
-
-        # all emissions in one fused elementwise pass (no transcendentals
-        # inside the sequential scan): [L, S, B]
-        z = jnp.abs(xl[:, None, :] - self._means[None, :, None]) / sigma_b[None, None, :]
-        logp = jax.scipy.special.log_ndtr(-z)
-        e = 1.0 / (-logp)
-        em_all = jnp.log(e / jnp.sum(e, axis=1, keepdims=True))
-
-        nu0 = self._log_delta[:, None] + em_all[0]          # [S, B]
-
-        def step(nu_prev, inputs):
-            em, mv, bv = inputs                              # [S,B], [B], [B]
-            scores = nu_prev[:, None, :] + self._log_pi[:, :, None]  # [j, s, B]
-            best = jnp.max(scores, axis=0)                   # [S, B]
-            bp = jnp.argmax(scores, axis=0).astype(jnp.int8)
-            # chromosome start inside a bin: restart the chain
-            nu_new = jnp.where(bv[None, :], self._log_delta[:, None] + em,
-                               best + em)
-            nu_new = jnp.where(mv[None, :], nu_new, nu_prev)
-            ident = jnp.broadcast_to(
-                jnp.arange(S, dtype=jnp.int8)[:, None], bp.shape)
-            bp = jnp.where((mv & ~bv)[None, :], bp, ident)
-            # argmax of nu BEFORE this step: closes the previous chromosome
-            # during backtrace when stepping back over a restart
-            am = jnp.argmax(nu_prev, axis=0).astype(jnp.int8)  # [B]
-            return nu_new, (bp, am)
-
-        nu_last, (bps, ams) = jax.lax.scan(
-            step, nu0, (em_all[1:], mask[1:], bndm[1:]), unroll=self._scan_unroll)
-        y_last = jnp.argmax(nu_last, axis=0).astype(jnp.int8)  # [B]
-
-        # backtrace via one-hot select: per-lane take_along_axis gathers
-        # lower to a ~2ms/step serialized gather on TPU; the S=6 compare+sum
-        # is pure VPU work (measured >1000x faster)
-        sr = jnp.arange(S, dtype=jnp.int8)[:, None]
-        bcut = (bndm[1:] & mask[1:])  # [L-1, B] restart positions
-
-        def back(y_next, inputs):
-            bp, am, bc = inputs
-            onehot = sr == y_next[None, :]
-            y = jnp.sum(jnp.where(onehot, bp, jnp.int8(0)), axis=0).astype(jnp.int8)
-            y = jnp.where(bc, am, y)
-            return y, y
-
-        _, ys = jax.lax.scan(back, y_last, (bps, ams, bcut),
-                             reverse=True, unroll=self._scan_unroll)
-        states = jnp.concatenate([ys, y_last[None, :]], axis=0) + 1  # [L, B]
-        vals = states.T.reshape(C, n_bins * self._Lmax)
-        return self._force_short_neutral(vals[:, self._inv_pack], S)
-
-    def _force_short_neutral(self, states, S):
-        """Reference semantics: chromosomes with < 2 genes get the neutral
-        state (R/inferCNV_HMM.R:1104-1107)."""
-        if self._short_genes is None:
-            return states
-        neutral = (S - 1) // 2 + 1
-        return states.at[:, self._short_genes].set(
-            jnp.asarray(neutral, states.dtype))
+            sigma_rows = jnp.full((C,), self._sigma, jnp.float32)
+        return viterbi_packed(
+            resid, self._layout, self._means, sigma_rows,
+            self._log_pi, self._log_delta,
+            np.asarray(self.hmm.means), self.hmm.t,
+            use_pallas=self.use_pallas, interpret=self._pallas_interpret,
+            unroll=self._scan_unroll)
 
     # ------------------------------------------------------------------
     # jitted entry points

@@ -121,3 +121,27 @@ def test_i6_params_structure():
     assert d.argmax() == 2  # neutral-favoring start
     P = np.exp(p.log_pi())
     np.testing.assert_allclose(P.sum(axis=1), np.ones(6), rtol=1e-6)
+
+
+def test_viterbi_packed_matches_perchr():
+    """The unified bin-packed hot path (step 17 now runs through it) must
+    reproduce the independent per-chromosome-padded implementation exactly,
+    including short (<2 gene) chromosomes and per-row sigma scaling."""
+    from infercnv_tpu.core.genome import GeneOrder
+
+    rng = np.random.default_rng(11)
+    sizes = [83, 1, 190, 41, 2, 130]
+    G = sum(sizes)
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=tuple(f"chr{i+1}" for i in range(len(sizes))),
+        chr_ids=np.repeat(np.arange(len(sizes)), sizes).astype(np.int32),
+        start=np.arange(G), stop=np.arange(G) + 1,
+    )
+    x = rng.normal(1.0, 0.3, (7, G)).astype(np.float32)
+    x[2, 84:150] *= 0.4    # deletion-ish block inside chr3
+    x[5, 274:340] *= 2.1   # amplification inside chr6
+    group_sds = np.abs(rng.normal(0.25, 0.05, (7, I6_PARAMS.num_states)))
+    a = viterbi_per_group(x, go, I6_PARAMS, group_sds, impl="packed")
+    b = viterbi_per_group(x, go, I6_PARAMS, group_sds, impl="perchr")
+    assert np.array_equal(a, b)
