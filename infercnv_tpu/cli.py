@@ -120,6 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--up_to_step", type=int, default=100)
     p.add_argument("--use_engine", default="auto", choices=["auto", "true", "false"],
                    help="fused-engine fast path for steps 4-14 (default auto)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard the compiled steps over a cell-axis mesh of "
+                        "this many devices (default: single device)")
     p.add_argument("--log_file", default=None)
     p.add_argument("--seed", type=int, default=12345)
 
@@ -246,6 +249,7 @@ def main(argv=None) -> int:
         plot_chr_scale=args.plot_chr_scale,
         up_to_step=args.up_to_step,
         use_engine={"auto": "auto", "true": True, "false": False}[args.use_engine],
+        n_devices=args.n_devices,
         seed=args.seed,
         title=args.title,
         title_obs=args.title_obs,

@@ -275,9 +275,9 @@ _PACKED_RUNNERS: dict = {}
 
 
 def _packed_runner(layout, params: HMMParams, use_pallas: bool,
-                   interpret: bool, unroll: int):
+                   interpret: bool, unroll: int, mesh=None):
     key = (id(layout), params.means.tobytes(), params.sds.tobytes(),
-           params.t, use_pallas, interpret, unroll)
+           params.t, use_pallas, interpret, unroll, id(mesh))
     fn = _PACKED_RUNNERS.get(key)
     if fn is None:
         from infercnv_tpu.ops.viterbi_pack import viterbi_packed
@@ -294,7 +294,24 @@ def _packed_runner(layout, params: HMMParams, use_pallas: bool,
                 hmm_means, t, use_pallas=use_pallas, interpret=interpret,
                 unroll=unroll)
 
-        fn = jax.jit(run)
+        if mesh is not None:
+            # rows are independent sequences: shard_map over the cell axis
+            # (no collectives), each shard running the same fused program
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            kw = dict(mesh=mesh, in_specs=(P("cells", None), P("cells")),
+                      out_specs=P("cells", None))
+            try:
+                fn = jax.jit(_shard_map(run, check_vma=False, **kw))
+            except TypeError:  # pre-0.7 API
+                fn = jax.jit(_shard_map(run, check_rep=False, **kw))
+        else:
+            fn = jax.jit(run)
         if len(_PACKED_RUNNERS) > 64:
             _PACKED_RUNNERS.clear()
         _PACKED_RUNNERS[key] = fn
@@ -307,6 +324,7 @@ def viterbi_per_group(
     params: HMMParams,
     group_sds: Optional[np.ndarray] = None,
     impl: str = "packed",
+    mesh=None,
 ) -> np.ndarray:
     """Run Viterbi for each row of x_bg ([B, G] of per-cell or per-group mean
     expression), per chromosome.  group_sds: optional [B, S] per-row state
@@ -334,10 +352,26 @@ def viterbi_per_group(
 
         layout = get_layout(gene_order)
         use_pallas, interpret, unroll = default_flags()
-        fn = _packed_runner(layout, params, use_pallas, interpret, unroll)
-        states = fn(jnp.asarray(x_bg, jnp.float32),
-                    jnp.asarray(sigma_rows, jnp.float32))
-        return np.asarray(states, np.int32)
+        if mesh is not None:
+            platform = mesh.devices.flat[0].platform
+            use_pallas = platform not in ("cpu",)
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        x_in, sig_in = x_bg, sigma_rows
+        if mesh is not None and B % n_dev:
+            pad = n_dev - B % n_dev  # padded rows are independent sequences
+            x_in = np.concatenate([x_bg, np.ones((pad, G), x_bg.dtype)])
+            sig_in = np.concatenate([sigma_rows, np.ones(pad)])
+        fn = _packed_runner(layout, params, use_pallas, interpret, unroll,
+                            mesh=mesh)
+        x_j = jnp.asarray(x_in, jnp.float32)
+        sig_j = jnp.asarray(sig_in, jnp.float32)
+        if mesh is not None:
+            from infercnv_tpu.parallel.stats import put_cell_sharded
+
+            x_j = put_cell_sharded(x_j, mesh)
+            sig_j = put_cell_sharded(sig_j, mesh)
+        states = fn(x_j, sig_j)
+        return np.asarray(states, np.int32)[:B]
 
     xp, mask, ranges = pack_by_chromosome(x_bg, gene_order)
     n_chr = len(ranges)
@@ -372,11 +406,13 @@ def _group_mean_rows(expr_cg: np.ndarray, groups: Dict[str, np.ndarray]) -> Tupl
     return rows, names, idxs
 
 
-def predict_hmm_on_cells(obj: InferCNV, params: HMMParams) -> np.ndarray:
+def predict_hmm_on_cells(obj: InferCNV, params: HMMParams,
+                         mesh=None) -> np.ndarray:
     """Per-cell i6/i3 state matrix [C, G]
-    (reference predict_CNV_via_HMM_on_indiv_cells :284-324)."""
+    (reference predict_CNV_via_HMM_on_indiv_cells :284-324).  With a mesh,
+    cells shard over it (independent sequences, no collectives)."""
     log_info("predict_hmm_on_cells()")
-    return viterbi_per_group(obj.expr, obj.gene_order, params)
+    return viterbi_per_group(obj.expr, obj.gene_order, params, mesh=mesh)
 
 
 def predict_hmm_on_groups(
@@ -385,6 +421,7 @@ def predict_hmm_on_groups(
     groups: Dict[str, np.ndarray],
     trend_fits: Optional[Dict[str, Tuple[float, float]]] = None,
     levels: Sequence[str] = I6_LEVELS,
+    mesh=None,
 ) -> np.ndarray:
     """Viterbi on per-group mean expression, states written back to every
     member cell (reference predict_CNV_via_HMM_on_tumor_subclusters :345-408
@@ -398,7 +435,8 @@ def predict_hmm_on_groups(
         ])
     else:
         group_sds = None
-    states_rows = viterbi_per_group(rows, obj.gene_order, params, group_sds)
+    states_rows = viterbi_per_group(rows, obj.gene_order, params, group_sds,
+                                    mesh=mesh)
     out = np.full(obj.expr.shape, (params.num_states - 1) // 2 + 1, np.int32)
     for r, ix in enumerate(idxs):
         out[ix] = states_rows[r]

@@ -118,6 +118,14 @@ class RunConfig:
 
     # framework-specific
     seed: int = 12345
+    # scale-out: shard the compiled steps (engine transform + per-cell
+    # Viterbi) over a 1-D cell-axis device mesh.  n_devices builds the mesh
+    # from jax.devices(); mesh accepts a prebuilt jax.sharding.Mesh.
+    # Results are bitwise-identical to the single-device run (the engine's
+    # chunk step has no cross-cell math; see tests/test_run_mesh.py), so
+    # neither field participates in checkpoint-resume arg matching.
+    n_devices: Optional[int] = None
+    mesh: object = None
 
     def validate(self) -> None:
         if self.smooth_method not in ("pyramidinal", "runmeans", "coordinates"):

@@ -129,17 +129,48 @@ def _hspike_residual_chain(h: InferCNV, cfg: RunConfig, threshold: float) -> Non
     h.expr = np.asarray(T.invert_log2(h.expr))
 
 
+def _resolve_mesh(cfg: RunConfig):
+    """The cell-axis device mesh for the compiled steps (None = one device).
+    SURVEY §2.3: cell-sharded data parallelism is the plan of record."""
+    if cfg.mesh is not None:
+        return cfg.mesh
+    if cfg.n_devices:
+        from infercnv_tpu.parallel.engine import make_cell_mesh
+
+        return make_cell_mesh(cfg.n_devices)
+    return None
+
+
+def _norm_factor(obj: InferCNV, mesh) -> float:
+    """Depth-norm factor = median library size (inferCNV_ops.R:3095).
+    Library sizes are host sums (identical in both paths); under a mesh the
+    median runs as the sharded radix select (parallel/stats.py) — exact, so
+    mesh and single-device runs stay bitwise-equal."""
+    libsizes = obj.expr.sum(axis=1)
+    if mesh is not None and libsizes.size % mesh.devices.size == 0:
+        from infercnv_tpu.parallel.stats import put_cell_sharded, sharded_median
+
+        return float(sharded_median(
+            put_cell_sharded(libsizes.astype(np.float32), mesh), mesh))
+    return float(np.median(libsizes))
+
+
 def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> None:
     """STEPS 4-14 as the fused CnvEngine transform (log -> bounds subtract ->
     clamp -> smooth -> median-center -> subtract -> unlog), streamed in cell
     chunks — the same compiled program bench.py measures, proven equivalent
     to the op-by-op path (tests/test_engine_pipeline_unify.py).  obj.expr
     must already be depth-normalized (engine normalization is idempotent on
-    normalized input)."""
+    normalized input).  With cfg.n_devices/mesh the chunk program runs
+    shard_mapped over the cell mesh (per-shard identical math -> bitwise
+    equal to the single-device path)."""
     from infercnv_tpu.models.hmm import HMMParams
     from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
 
-    log_info("STEPS 04-14: fused engine transform (use_engine fast path)")
+    mesh = _resolve_mesh(cfg)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    log_info("STEPS 04-14: fused engine transform (use_engine fast path"
+             + (f", {n_dev}-device cell mesh)" if mesh is not None else ")"))
     with timer.step("04-14_engine_transform"):
         ecfg = EngineConfig(
             window_length=cfg.window_length,
@@ -151,7 +182,7 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         )
         # transform-only use: HMM params are placeholders
         params = HMMParams(means=np.arange(1.0, 7.0), sds=np.ones(6), t=1e-6)
-        engine = CnvEngine(obj.gene_order, params, ecfg)
+        engine = CnvEngine(obj.gene_order, params, ecfg, mesh=mesh)
         if obj.has_reference_cells():
             groups = [np.asarray(v) for v in obj.ref_groups.values()]
         else:
@@ -161,14 +192,25 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         pos = {int(c): i for i, c in enumerate(ref_idx)}
         for k, g in enumerate(groups):
             onehot[k, [pos[int(c)] for c in g]] = 1.0
-        norm_factor = float(np.median(obj.expr.sum(axis=1)))
+        norm_factor = _norm_factor(obj, mesh)
         ml, mr, _ = engine.ref_stats(obj.expr[ref_idx], norm_factor, onehot)
         C = obj.num_cells
-        chunk = 16384
+        chunk = max(16384 // n_dev, 1) * n_dev  # divisible by the mesh
         out = np.empty_like(obj.expr)
         for b in range(0, C, chunk):
+            block = obj.expr[b:b + chunk]
+            nb = block.shape[0]
+            if mesh is not None:
+                from infercnv_tpu.parallel.stats import put_cell_sharded
+
+                if nb % n_dev:  # pad the tail to the mesh (rows are
+                    # independent; padding never mixes into real cells)
+                    pad = n_dev - nb % n_dev
+                    block = np.concatenate(
+                        [block, np.ones((pad, block.shape[1]), block.dtype)])
+                block = put_cell_sharded(block, mesh)
             out[b:b + chunk] = np.asarray(engine.transform_chunk(
-                obj.expr[b:b + chunk], norm_factor, ml, mr))
+                block, norm_factor, ml, mr))[:nb]
         obj.expr = out
     if obj.hspike is not None:
         with timer.step("04-14_hspike_mirror"):
@@ -569,6 +611,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         result.hmm_gene_order = obj.gene_order
     elif cfg.HMM:
         log_info("STEP 17: HMM-based CNV prediction")
+        mesh17 = _resolve_mesh(cfg)
         timer_hmm = timer.step("17_hmm")
         timer_hmm.__enter__()
         if cfg.HMM_type == "i6":
@@ -598,15 +641,17 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 if not groups:
                     log_warn("No subclusters defined, running on whole samples")
                     groups = {**obj.obs_groups, **obj.ref_groups}
-                hmm_states = hmm_mod.predict_hmm_on_groups(obj, params, groups, trend_fits)
+                hmm_states = hmm_mod.predict_hmm_on_groups(
+                    obj, params, groups, trend_fits, mesh=mesh17)
         elif cfg.analysis_mode == "cells":
-            hmm_states = hmm_mod.predict_hmm_on_cells(obj, params)
+            hmm_states = hmm_mod.predict_hmm_on_cells(obj, params, mesh=mesh17)
         else:  # samples
             if cfg.cluster_by_groups:
                 groups = {**obj.obs_groups, **obj.ref_groups}
             else:
                 groups = {"all_observations": obj.all_obs_idx(), **obj.ref_groups}
-            hmm_states = hmm_mod.predict_hmm_on_groups(obj, params, groups, trend_fits)
+            hmm_states = hmm_mod.predict_hmm_on_groups(
+                obj, params, groups, trend_fits, mesh=mesh17)
 
         result.region_reports = generate_cnv_region_reports(
             obj, hmm_states,
