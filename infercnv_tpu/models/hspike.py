@@ -61,9 +61,17 @@ def build_hspike(
     sim_method: str = "meanvar",
     aggregate_normals: bool = False,
     seed: int = 12345,
+    common_dispersion=0.1,
 ) -> InferCNV:
     """Build the hspike child object from `obj` (whose expr must already be
     depth-normalized, as in run() step 3 — reference inferCNV_ops.R:588-590).
+
+    common_dispersion (sim_method='simple' only): NB dispersion for the
+    count simulation.  The reference's live path hardcodes 0.1
+    (inferCNV_hidden_spike.R:86,123) and ships an edgeR::estimateDisp
+    wrapper it never calls (inferCNV_simple_sim.R:227-240); pass 'auto'
+    here to actually estimate it from the normal cells (one-parameter NB
+    profile MLE, sim/meanvar.estimate_common_dispersion).
     """
     log_info("Adding h-spike")
     if obj.has_reference_cells():
@@ -126,10 +134,17 @@ def build_hspike(
             sim_tumor = simulate_meanvar_counts(k2, hspike_gene_means, mv_spline,
                                                 HSPIKE_NUM_CELLS, dropout_spline)
         elif sim_method == "simple":
+            if common_dispersion == "auto":
+                from infercnv_tpu.sim.meanvar import estimate_common_dispersion
+
+                common_dispersion = estimate_common_dispersion(
+                    obj.expr[np.asarray(normal_idx)].T)
+                log_info(f"-estimated NB common dispersion: {common_dispersion:g}")
+            disp = float(common_dispersion)
             sim_norm = simulate_simple_counts(k1, gene_means, HSPIKE_NUM_CELLS,
-                                              0.1, dropout_spline)
+                                              disp, dropout_spline)
             sim_tumor = simulate_simple_counts(k2, hspike_gene_means, HSPIKE_NUM_CELLS,
-                                               0.1, dropout_spline)
+                                               disp, dropout_spline)
         elif sim_method == "splatter":
             from infercnv_tpu.sim.splatter import (
                 estimate_splatter_params,

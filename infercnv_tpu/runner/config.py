@@ -93,6 +93,11 @@ class RunConfig:
     require_DE_all_normals: str = "any"
 
     hspike_aggregate_normals: bool = False
+    # NB dispersion for sim_method='simple' hspike counts: 0.1 matches the
+    # reference's live hardcode (inferCNV_hidden_spike.R:86,123); 'auto'
+    # estimates it from the normal cells (edgeR::estimateDisp equivalent,
+    # which the reference ships but never calls: inferCNV_simple_sim.R:227)
+    hspike_common_dispersion: object = 0.1
 
     no_plot: bool = False
     no_prelim_plot: bool = False

@@ -390,7 +390,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             if cfg.HMM and cfg.HMM_type == "i6":
                 obj.hspike = build_hspike(obj, sim_method=cfg.sim_method,
                                           aggregate_normals=cfg.hspike_aggregate_normals,
-                                          seed=cfg.seed)
+                                          seed=cfg.seed,
+                                          common_dispersion=cfg.hspike_common_dispersion)
         save(3)
     if done(3):
         result.infercnv_obj = obj

@@ -163,6 +163,13 @@ def leiden(
                            objective, resolution, seed, max_levels)
     if native is not None:
         return native
+    if A.shape[0] > 20_000:
+        from infercnv_tpu.utils.logging import log_warn
+
+        log_warn(f"native Leiden unavailable; the pure-Python fallback on "
+                 f"{A.shape[0]} nodes will be slow (its move queue is "
+                 "list-based) — check that infercnv_tpu/native/leiden.cpp "
+                 "compiled (g++ present, INFERCNV_TPU_NO_NATIVE unset)")
     rng = np.random.default_rng(seed)
     n = A.shape[0]
     total_weight = float(A.sum())

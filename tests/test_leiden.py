@@ -78,3 +78,32 @@ def test_knn_and_snn_graph_shapes(rng):
     assert S.shape == (n, n)
     assert (S != S.T).nnz == 0
     assert S.diagonal().sum() == 0
+
+
+def test_native_leiden_builds_and_loads():
+    """Pin the C++ fast path: the scale benchmarks depend on it, so CI must
+    fail loudly if the .so stops building (VERDICT r2 item 7)."""
+    import os
+
+    if os.environ.get("INFERCNV_TPU_NO_NATIVE"):
+        import pytest
+
+        pytest.skip("native disabled by env")
+    from infercnv_tpu.native import get_leiden_lib, leiden_native
+
+    assert get_leiden_lib() is not None, "native/leiden.cpp failed to build/load"
+    # and it actually partitions: two 10-cliques joined by one edge
+    import numpy as np
+    from scipy import sparse
+
+    n = 20
+    A = np.zeros((n, n))
+    A[:10, :10] = 1
+    A[10:, 10:] = 1
+    np.fill_diagonal(A, 0)
+    A[9, 10] = A[10, 9] = 1
+    A = sparse.csr_matrix(A)
+    memb = leiden_native(A.indptr, A.indices, A.data, n, "CPM", 0.3, 7, 10)
+    assert memb is not None
+    assert len(set(memb[:10])) == 1 and len(set(memb[10:])) == 1
+    assert memb[0] != memb[-1]

@@ -93,3 +93,34 @@ def test_estimate_common_dispersion_recovers_truth():
     y2 = rng.poisson(np.tile(mu[:, None], (1, C))).astype(np.float64)
     est2 = estimate_common_dispersion(y2)
     assert est2 < 0.02, est2
+
+
+def test_build_hspike_auto_dispersion():
+    """sim_method='simple' with common_dispersion='auto' estimates the NB
+    dispersion from the normal cells instead of the reference's hardcoded
+    0.1 (inferCNV_hidden_spike.R:86,123)."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.models.hspike import build_hspike
+    from infercnv_tpu.ops import transforms as T
+
+    rng = np.random.default_rng(3)
+    G, C = 120, 60
+    go = GeneOrder(names=tuple(f"g{i}" for i in range(G)),
+                   chr_names=("chr1",), chr_ids=np.zeros(G, np.int32),
+                   start=np.arange(G), stop=np.arange(G) + 1)
+    mu = rng.gamma(2.0, 20.0, G)
+    phi = 0.3
+    counts = rng.negative_binomial(1 / phi, 1 / (1 + phi * mu[None, :]),
+                                   (C, G)).astype(np.float32)
+    obj = InferCNV(expr=counts.copy(), counts=counts, gene_order=go,
+                   cell_names=[f"c{i}" for i in range(C)],
+                   ref_groups={"n": np.arange(C // 2)},
+                   obs_groups={"t": np.arange(C // 2, C)})
+    obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
+    h = build_hspike(obj, sim_method="simple", common_dispersion="auto")
+    # one normal group -> 100 simnorm + 100 spike_tumor cells
+    assert h is not None and h.expr.shape[0] == 200
+    assert (h.expr >= 0).all()
