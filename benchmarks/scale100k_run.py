@@ -81,7 +81,8 @@ def main():
     t0 = time.perf_counter()
     go, counts, ref_groups, tumor_groups, planted = synth_counts(C)
     t_gen = time.perf_counter() - t0
-    print(f"# generated {C} cells x {go.num_genes} genes in {t_gen:.1f}s")
+    print(f"# generated {C} cells x {go.num_genes} genes in {t_gen:.1f}s",
+          flush=True)
 
     obj = InferCNV(
         expr=counts.copy(), counts=counts, gene_order=go,

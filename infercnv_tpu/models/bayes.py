@@ -44,6 +44,9 @@ N_CHAINS_I6 = 6
 N_CHAINS_I3 = 3
 N_BURN = 200
 N_ITER = 1000
+# elements per Gumbel transient [chains, R_blk, Cmax_blk, S] (~1 GB f32);
+# regions chunk into blocks under this (tests shrink it to force blocking)
+_GIBBS_TRANSIENT_BUDGET = 256 * 1024 * 1024
 
 
 class BayesResult:
@@ -153,10 +156,18 @@ def region_loglik(expr_cg: np.ndarray, regions: List[dict],
     RGT = jnp.asarray(RG.T)                                        # [G, R]
     X1 = np.empty((C, R), np.float32)
     X2 = np.empty((C, R), np.float32)
+    pending = []
     for b in range(0, C, chunk):
         xc = jnp.asarray(expr_cg[b:b + chunk], jnp.float32)
-        X1[b:b + chunk] = np.asarray(xc @ RGT)
-        X2[b:b + chunk] = np.asarray((xc * xc) @ RGT)
+        # async dispatch; block one chunk behind so upload overlaps compute
+        pending.append((b, xc @ RGT, (xc * xc) @ RGT))
+        if len(pending) > 1:
+            b0, a1, a2 = pending.pop(0)
+            X1[b0:b0 + chunk] = np.asarray(a1)
+            X2[b0:b0 + chunk] = np.asarray(a2)
+    for b0, a1, a2 in pending:
+        X1[b0:b0 + chunk] = np.asarray(a1)
+        X2[b0:b0 + chunk] = np.asarray(a2)
 
     Cmax = max(r["cell_idx"].size for r in regions)
     pad_idx = np.zeros((R, Cmax), np.int64)
@@ -231,21 +242,56 @@ def run_bayesian_mixture(
     C = obj.num_cells
     log_info(f"Bayesian mixture model over {R} CNV regions ({S} states)")
 
-    ll, cell_mask = region_loglik(obj.expr, regions, mu, tau)
-
     n_chains = N_CHAINS_I6 if hmm_type == "i6" else N_CHAINS_I3
-    theta_mean, eps_freq, traces = _gibbs_all_regions(
-        jax.random.PRNGKey(seed), jnp.asarray(ll, jnp.float32),
-        jnp.asarray(cell_mask), n_chains, N_BURN, N_ITER)
-    theta_mean = np.asarray(theta_mean)                            # [R, S]
-    eps_freq = np.asarray(eps_freq)                                # [R, Cmax, S]
-    result.theta_traces = np.asarray(traces)                       # [chains, T, R, S]
+
+    # Region blocks: the Gumbel-sampling transient inside the Gibbs sweep
+    # is [chains, R_blk, Cmax_blk, S]; chunk the regions (sorted by group
+    # size, so each block pads to ITS widest group) to keep that under a
+    # fixed budget regardless of region count — the reference bounds this
+    # with mclapply over regions (inferCNV_BayesNet.R:407-430).
+    BUDGET = _GIBBS_TRANSIENT_BUDGET
+    order = sorted(range(R), key=lambda ri: -regions[ri]["cell_idx"].size)
+    blocks: List[List[int]] = []
+    cur: List[int] = []
+    cur_cmax = 0
+    for ri in order:
+        cmax = max(cur_cmax, regions[ri]["cell_idx"].size)
+        if cur and n_chains * (len(cur) + 1) * cmax * S > BUDGET:
+            blocks.append(cur)
+            cur, cur_cmax = [ri], regions[ri]["cell_idx"].size
+        else:
+            cur.append(ri)
+            cur_cmax = cmax
+    if cur:
+        blocks.append(cur)
+    if len(blocks) > 1:
+        log_info(f"-sampling in {len(blocks)} region blocks (memory budget)")
+
+    theta_mean = np.zeros((R, S), np.float64)
+    cell_probs: List[Optional[np.ndarray]] = [None] * R
+    trace_list: List[np.ndarray] = []
+    for bi, blk in enumerate(blocks):
+        blk_regions = [regions[ri] for ri in blk]
+        ll, cell_mask = region_loglik(obj.expr, blk_regions, mu, tau)
+        th, ef, tr = _gibbs_all_regions(
+            jax.random.fold_in(jax.random.PRNGKey(seed), bi),
+            jnp.asarray(ll, jnp.float32), jnp.asarray(cell_mask),
+            n_chains, N_BURN, N_ITER)
+        th = np.asarray(th)
+        ef = np.asarray(ef)
+        for j, ri in enumerate(blk):
+            theta_mean[ri] = th[j]
+            cell_probs[ri] = ef[j, : regions[ri]["cell_idx"].size, :].T
+        trace_list.append(np.asarray(tr))
+    # traces back in original region order: [chains, T, R, S]
+    flat = np.concatenate(trace_list, axis=2)
+    inv = np.empty(R, np.int64)
+    inv[[ri for blk in blocks for ri in blk]] = np.arange(R)
+    result.theta_traces = flat[:, :, inv, :]
 
     result.cnv_region_names = [r["name"] for r in regions]
     result.cnv_state_probabilities = theta_mean.T                  # [S, R]
-    result.cell_probabilities = [
-        eps_freq[ri, : regions[ri]["cell_idx"].size, :].T for ri in range(R)
-    ]
+    result.cell_probabilities = cell_probs
 
     # convergence check on the theta chains (the reference computes Gelman
     # plots but never inspects them; here poor mixing is surfaced loudly)

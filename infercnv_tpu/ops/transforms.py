@@ -29,13 +29,23 @@ def group_onehot(groups: Sequence[np.ndarray], num_cells: int) -> np.ndarray:
 
 def normalize_counts_by_seq_depth(x, normalize_factor: Optional[float] = None):
     """Per-cell total-count scaling (reference R/inferCNV_ops.R:3064-3111):
-    counts / colSums * median(colSums) (or a given factor)."""
-    x = jnp.asarray(x, jnp.float32)
-    cs = jnp.sum(x, axis=1, keepdims=True)
-    if normalize_factor is None:
-        factor = jnp.median(jnp.sum(x, axis=1))
-    else:
-        factor = jnp.float32(normalize_factor)
+    counts / colSums * median(colSums) (or a given factor).
+
+    Host numpy on host arrays: this touches the FULL counts matrix once, and
+    shipping 100k x 9k cells over a remote-TPU link for a row sum costs
+    minutes; the memory-bound host pass costs seconds.  (The engine fast
+    path re-derives the same normalization on device per chunk.)"""
+    if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+        cs = jnp.sum(x, axis=1, keepdims=True)
+        if normalize_factor is None:
+            factor = jnp.median(cs[:, 0])
+        else:
+            factor = jnp.float32(normalize_factor)
+        return x / cs * factor
+    x = np.asarray(x, np.float32)
+    cs = x.sum(axis=1, keepdims=True)
+    factor = (np.float32(np.median(cs[:, 0])) if normalize_factor is None
+              else np.float32(normalize_factor))
     return x / cs * factor
 
 
@@ -87,14 +97,20 @@ def normalize_by_upper_quartile(x):
 def below_min_mean_expr_cutoff(x, min_mean_expr: float) -> np.ndarray:
     """Indices of genes whose mean across all cells < cutoff
     (reference .below_min_mean_expr_cutoff :2154-2163)."""
-    means = np.asarray(jnp.mean(jnp.asarray(x, jnp.float32), axis=0))
+    means = np.asarray(x, np.float32).mean(axis=0)  # host: one pass, no
+    # full-matrix device transfer (R computes in double; f32 pairwise sums
+    # agree to ~1e-5 relative, far from the integer-count cutoff scale)
     return np.nonzero(means < min_mean_expr)[0]
 
 
 def genes_below_min_cells_ref(x, min_cells_per_gene: int) -> np.ndarray:
     """Indices of genes expressed (>0) in fewer than `min_cells_per_gene`
     cells (reference require_above_min_cells_ref :2182-2213)."""
-    n_expressed = np.asarray(jnp.sum(jnp.asarray(x) > 0, axis=0))
+    x = np.asarray(x)
+    # host, chunked: the bool temp for 100k x 9k at once thrashes cache
+    n_expressed = np.zeros(x.shape[1], np.int64)
+    for b in range(0, x.shape[0], 8192):
+        n_expressed += np.count_nonzero(x[b:b + 8192] > 0, axis=0)
     return np.nonzero(n_expressed < min_cells_per_gene)[0]
 
 
@@ -194,20 +210,33 @@ def clear_noise(x, threshold: float, center_pos: float = 0.0):
 def ref_mean_sd_bounds(x, ref_idx: np.ndarray, sd_amplifier: float = 1.5):
     """(mean_ref, mean of per-ref-cell sd * amplifier)
     (reference clear_noise_via_ref_mean_sd :2302-2346; sd is the per-cell
-    sample sd across genes, ddof=1)."""
-    x = jnp.asarray(x, jnp.float32)
-    vals = x[jnp.asarray(ref_idx)]
-    mean_ref = jnp.mean(vals)
+    sample sd across genes, ddof=1).  Host numpy on host arrays — only the
+    reference rows are touched."""
+    if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+        vals = x[jnp.asarray(ref_idx)]
+        mean_ref = jnp.mean(vals)
+        G = vals.shape[1]
+        percell_sd = (jnp.std(vals, axis=1, ddof=1) if G > 1
+                      else jnp.zeros(vals.shape[0]))
+        return mean_ref, jnp.mean(percell_sd) * sd_amplifier
+    vals = np.asarray(x, np.float32)[np.asarray(ref_idx)]
+    mean_ref = np.float32(vals.mean())
     G = vals.shape[1]
-    percell_sd = jnp.std(vals, axis=1, ddof=1) if G > 1 else jnp.zeros(vals.shape[0])
-    return mean_ref, jnp.mean(percell_sd) * sd_amplifier
+    percell_sd = (vals.std(axis=1, ddof=1) if G > 1
+                  else np.zeros(vals.shape[0], np.float32))
+    return mean_ref, np.float32(percell_sd.mean() * sd_amplifier)
 
 
 def clear_noise_via_ref_mean_sd(x, ref_idx: np.ndarray, sd_amplifier: float = 1.5):
     mean_ref, spread = ref_mean_sd_bounds(x, ref_idx, sd_amplifier)
-    x = jnp.asarray(x, jnp.float32)
+    if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+        inside = (x > mean_ref - spread) & (x < mean_ref + spread)
+        return jnp.where(inside, mean_ref, x)
+    # host path: elementwise over the full matrix — never ship it to the
+    # device for a compare+select (minutes over a remote-TPU link at 100k)
+    x = np.asarray(x, np.float32)
     inside = (x > mean_ref - spread) & (x < mean_ref + spread)
-    return jnp.where(inside, mean_ref, x)
+    return np.where(inside, np.float32(mean_ref), x)
 
 
 def depress_log_signal_midpt_val(x, center: float, delta_midpt: float, slope: float = 20.0):

@@ -197,6 +197,10 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         C = obj.num_cells
         chunk = max(16384 // n_dev, 1) * n_dev  # divisible by the mesh
         out = np.empty_like(obj.expr)
+        # double-buffered streaming: dispatch chunk i+1 before blocking on
+        # chunk i's result, so host<->device transfers overlap device
+        # compute (the remote-TPU link is the bottleneck at 100k cells)
+        pending = []
         for b in range(0, C, chunk):
             block = obj.expr[b:b + chunk]
             nb = block.shape[0]
@@ -209,8 +213,13 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
                     block = np.concatenate(
                         [block, np.ones((pad, block.shape[1]), block.dtype)])
                 block = put_cell_sharded(block, mesh)
-            out[b:b + chunk] = np.asarray(engine.transform_chunk(
-                block, norm_factor, ml, mr))[:nb]
+            pending.append((b, nb, engine.transform_chunk(
+                block, norm_factor, ml, mr)))
+            if len(pending) > 1:
+                b0, n0, r0 = pending.pop(0)
+                out[b0:b0 + n0] = np.asarray(r0)[:n0]
+        for b0, n0, r0 in pending:
+            out[b0:b0 + n0] = np.asarray(r0)[:n0]
         obj.expr = out
     if obj.hspike is not None:
         with timer.step("04-14_hspike_mirror"):
