@@ -715,13 +715,20 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 post_prob_normal_heatmap,
             )
 
-            plot_cnv_probabilities(bayes_out, bayes_dir)
-            plot_cell_probabilities(bayes_out, bayes_dir)
-            post_prob_normal_heatmap(obj, bayes_out, bayes_out.regions, cfg.out_dir)
+            try:  # plotting must never kill an analysis run
+                plot_cnv_probabilities(bayes_out, bayes_dir)
+                plot_cell_probabilities(bayes_out, bayes_dir)
+                post_prob_normal_heatmap(obj, bayes_out, bayes_out.regions,
+                                         cfg.out_dir)
+            except Exception as e:
+                log_warn(f"Bayes probability plots failed: {e}")
         if cfg.diagnostics:
             from infercnv_tpu.viz.bayes_plots import mcmc_diagnostic_plots
 
-            mcmc_diagnostic_plots(bayes_out, bayes_dir)
+            try:
+                mcmc_diagnostic_plots(bayes_out, bayes_dir)
+            except Exception as e:
+                log_warn(f"MCMC diagnostic plots failed: {e}")
         save(19, states=hmm_states)
         # adjusted report files
         generate_cnv_region_reports(

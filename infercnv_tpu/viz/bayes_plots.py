@@ -36,6 +36,19 @@ def plot_cnv_probabilities(result: BayesResult, out_dir: str,
     plt = _mpl()
     probs = result.cnv_state_probabilities  # [S, R]
     S, R = probs.shape
+    names = list(result.cnv_region_names)
+    # cap figure width: beyond ~200 regions per-region bars are unreadable
+    # and the canvas would exceed Agg's 2^16-pixel limit; keep the regions
+    # with the most extreme posteriors and say so
+    MAXR = 200
+    if R > MAXR:
+        extremity = np.abs(probs - 1.0 / S).max(axis=0)
+        keep = np.sort(np.argsort(-extremity)[:MAXR])
+        log_info(f"-cnvProbs: plotting the {MAXR} most extreme of {R} "
+                 "regions (full posteriors in CNV_State_Probabilities.dat)")
+        probs = probs[:, keep]
+        names = [names[i] for i in keep]
+        R = MAXR
     os.makedirs(out_dir, exist_ok=True)
     fig, ax = plt.subplots(figsize=(max(6, R * 0.25), 4))
     bottom = np.zeros(R)
@@ -45,7 +58,7 @@ def plot_cnv_probabilities(result: BayesResult, out_dir: str,
                color=cmap(s / max(S - 1, 1)), label=f"state {s+1}")
         bottom += probs[s]
     ax.set_xticks(np.arange(R))
-    ax.set_xticklabels(result.cnv_region_names, rotation=90, fontsize=5)
+    ax.set_xticklabels(names, rotation=90, fontsize=5)
     ax.set_ylabel("P(state)")
     ax.legend(fontsize=6, ncol=S)
     path = os.path.join(out_dir, f"{output_filename}.png")
@@ -63,13 +76,22 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
     if not result.cell_probabilities:
         return None
     plt = _mpl()
-    n = len(result.cell_probabilities)
+    cell_probs = result.cell_probabilities
+    names = list(result.cnv_region_names)
+    MAXP = 64  # panel cap: 1000+ region panels exceed the canvas pixel
+    # limit and render nothing a human can read
+    if len(cell_probs) > MAXP:
+        log_info(f"-cellProbs: plotting the first {MAXP} of "
+                 f"{len(cell_probs)} regions")
+        cell_probs = cell_probs[:MAXP]
+        names = names[:MAXP]
+    n = len(cell_probs)
     ncol = min(4, n)
     nrow = -(-n // ncol)
     fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 2.2 * nrow),
                              squeeze=False)
     cmap = plt.get_cmap("RdBu_r")
-    for ri, cp in enumerate(result.cell_probabilities):
+    for ri, cp in enumerate(cell_probs):
         ax = axes[ri // ncol][ri % ncol]
         S, C = cp.shape
         bottom = np.zeros(C)
@@ -77,7 +99,7 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
             ax.bar(np.arange(C), cp[s], bottom=bottom, width=1.0,
                    color=cmap(s / max(S - 1, 1)))
             bottom += cp[s]
-        ax.set_title(result.cnv_region_names[ri], fontsize=6)
+        ax.set_title(names[ri], fontsize=6)
         ax.set_xticks([])
     for k in range(n, nrow * ncol):
         axes[k // ncol][k % ncol].axis("off")
@@ -108,6 +130,11 @@ def post_prob_normal_heatmap(obj: InferCNV, result: BayesResult,
             continue
         p_not_normal = 1.0 - result.cnv_state_probabilities[neutral - 1, ri]
         mat[np.ix_(r["cell_idx"], r["gene_idx"])] = p_not_normal
+    if mat.shape[0] > 4000:  # raster-aggregate rows for huge panes
+        from infercnv_tpu.viz.heatmap import _downsample_rows
+
+        mat, _sizes, _down = _downsample_rows(
+            mat, [("cells", mat.shape[0])], 4000)
     fig, ax = plt.subplots(figsize=(10, 5))
     im = ax.imshow(mat, aspect="auto", cmap="viridis", vmin=0, vmax=1,
                    interpolation="nearest")
