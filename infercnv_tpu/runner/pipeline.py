@@ -811,6 +811,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      write_expr=cfg.write_expr_matrix,
                      write_phylo=cfg.write_phylo,
                      png_res=min(cfg.png_res, 200),
+                     max_pane_rows=2000 if cfg.useRaster else 10**9,
                      output_format=cfg.output_format)
             timer_final.__exit__(None, None, None)
         except ImportError:

@@ -30,16 +30,34 @@ _KNN_BLOCK = 2048
 _KNN_ONESHOT_MAX = 16384
 
 
+# below this row count the Gram trick runs in host BLAS: a [512, G] block
+# is sub-100-Mflop work, while a device call pays a host->device->host
+# round-trip per block — the heatmap orders hundreds of subcluster blocks,
+# and over a remote-TPU tunnel those round-trips dominated the plot
+_HOST_GRAM_MAX = 1024
+
+
 @jax.jit
-def pairwise_sq_dists(x):
-    """[C, C] squared euclidean distances of rows of x ([C, G]).
-    Materializes the full matrix — intended for the small-C linkage paths
-    only; use knn_indices for neighbor queries at scale."""
+def _pairwise_sq_dists_dev(x):
     x = jnp.asarray(x, jnp.float32)
     sq = jnp.sum(x * x, axis=1)
     gram = x @ x.T
     d2 = sq[:, None] + sq[None, :] - 2.0 * gram
     return jnp.maximum(d2, 0.0)
+
+
+def pairwise_sq_dists(x):
+    """[C, C] squared euclidean distances of rows of x ([C, G]).
+    Materializes the full matrix — intended for the small-C linkage paths
+    only; use knn_indices for neighbor queries at scale.  Small host
+    arrays compute in host float64 BLAS (no device round-trip, and closer
+    to R's double-precision dist)."""
+    if isinstance(x, np.ndarray) and x.shape[0] <= _HOST_GRAM_MAX:
+        xh = np.asarray(x, np.float64)
+        sq = np.einsum("ij,ij->i", xh, xh)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (xh @ xh.T)
+        return np.maximum(d2, 0.0)
+    return _pairwise_sq_dists_dev(x)
 
 
 def pairwise_dists(x) -> np.ndarray:
