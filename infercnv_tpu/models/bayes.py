@@ -154,20 +154,17 @@ def region_loglik(expr_cg: np.ndarray, regions: List[dict],
         RG[ri, r["gene_idx"]] = 1.0
     n_genes_r = RG.sum(axis=1)                                     # [R]
     RGT = jnp.asarray(RG.T)                                        # [G, R]
-    X1 = np.empty((C, R), np.float32)
-    X2 = np.empty((C, R), np.float32)
-    pending = []
+    # moments STAY on device: only the [R, Cmax, S] padded log-likelihood
+    # ever exists, and it feeds the (device) Gibbs directly — the [C, R]
+    # moment matrices (~1 GB at 100k cells x 1000 regions) never ride the
+    # host link
+    parts1, parts2 = [], []
     for b in range(0, C, chunk):
         xc = jnp.asarray(expr_cg[b:b + chunk], jnp.float32)
-        # async dispatch; block one chunk behind so upload overlaps compute
-        pending.append((b, xc @ RGT, (xc * xc) @ RGT))
-        if len(pending) > 1:
-            b0, a1, a2 = pending.pop(0)
-            X1[b0:b0 + chunk] = np.asarray(a1)
-            X2[b0:b0 + chunk] = np.asarray(a2)
-    for b0, a1, a2 in pending:
-        X1[b0:b0 + chunk] = np.asarray(a1)
-        X2[b0:b0 + chunk] = np.asarray(a2)
+        parts1.append(xc @ RGT)
+        parts2.append((xc * xc) @ RGT)
+    X1 = jnp.concatenate(parts1) if len(parts1) > 1 else parts1[0]  # [C, R]
+    X2 = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
 
     Cmax = max(r["cell_idx"].size for r in regions)
     pad_idx = np.zeros((R, Cmax), np.int64)
@@ -176,17 +173,20 @@ def region_loglik(expr_cg: np.ndarray, regions: List[dict],
         nc = r["cell_idx"].size
         pad_idx[ri, :nc] = r["cell_idx"]
         cell_mask[ri, :nc] = 1.0
-    rr = np.arange(R)[:, None]
-    X1p = X1[pad_idx, rr]                                          # [R, Cmax]
-    X2p = X2[pad_idx, rr]
-    const = 0.5 * np.log(tau / (2.0 * np.pi))
-    ng = n_genes_r[:, None, None]
-    ll = (-0.5 * tau[None, None, :]
-          * (X2p[..., None] - 2.0 * mu[None, None, :] * X1p[..., None]
-             + ng * mu[None, None, :] ** 2)
+    rr = jnp.arange(R)[:, None]
+    pj = jnp.asarray(pad_idx)
+    X1p = X1[pj, rr]                                               # [R, Cmax]
+    X2p = X2[pj, rr]
+    muj = jnp.asarray(mu, jnp.float32)
+    tauj = jnp.asarray(tau, jnp.float32)
+    const = 0.5 * jnp.log(tauj / (2.0 * np.pi))
+    ng = jnp.asarray(n_genes_r)[:, None, None]
+    ll = (-0.5 * tauj[None, None, :]
+          * (X2p[..., None] - 2.0 * muj[None, None, :] * X1p[..., None]
+             + ng * muj[None, None, :] ** 2)
           + ng * const[None, None, :])                             # [R, Cmax, S]
     # padded slots must not influence the theta counts
-    return ll * cell_mask[..., None], cell_mask
+    return ll * jnp.asarray(cell_mask)[..., None], cell_mask
 
 
 def run_bayesian_mixture(

@@ -87,3 +87,42 @@ def test_gibbs_sharp_posterior_and_masked_counts():
     # E[theta_1] = (8 + 1) / (8 + 3) = 0.818 under Dirichlet(1,1,1) + counts
     assert abs(th[0] - 9 / 11) < 0.05
     assert np.asarray(ef)[0, :8, 0].mean() > 0.95
+
+
+def test_region_blocking_matches_single_block(monkeypatch):
+    """Forcing tiny memory blocks must leave posteriors ~unchanged and
+    keep region/trace ordering intact."""
+    import infercnv_tpu.models.bayes as B
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+
+    rng = np.random.default_rng(7)
+    G, C = 90, 60
+    go = GeneOrder(names=tuple(f"g{i}" for i in range(G)),
+                   chr_names=("chr1", "chr2", "chr3"),
+                   chr_ids=np.repeat([0, 1, 2], 30).astype(np.int32),
+                   start=np.arange(G), stop=np.arange(G) + 1)
+    expr = rng.normal(1.0, 0.15, (C, G)).astype(np.float32)
+    states = np.full((C, G), 2, np.int32)
+    # two tumor subclusters with planted regions on different chromosomes
+    expr[20:40, 0:30] = rng.normal(0.5, 0.15, (20, 30))
+    states[20:40, 0:30] = 1
+    expr[40:60, 30:60] = rng.normal(1.5, 0.15, (20, 30))
+    states[40:60, 30:60] = 3
+    obj = InferCNV(
+        expr=expr, counts=None, gene_order=go,
+        cell_names=[f"c{i}" for i in range(C)],
+        ref_groups={"n": np.arange(20)},
+        obs_groups={"t": np.arange(20, C)},
+        tumor_subclusters={"hc": {}, "subclusters": {"t": {
+            "t_s1": np.arange(20, 40), "t_s2": np.arange(40, 60)}}},
+    )
+    r_one, _ = B.run_bayesian_mixture(obj, states, "i3", None)
+    monkeypatch.setattr(B, "_GIBBS_TRANSIENT_BUDGET", 3 * 2 * 25 * 3)
+    r_blk, _ = B.run_bayesian_mixture(obj, states, "i3", None)
+    assert r_blk.cnv_region_names == r_one.cnv_region_names
+    np.testing.assert_allclose(r_blk.cnv_state_probabilities,
+                               r_one.cnv_state_probabilities, atol=0.05)
+    assert r_blk.theta_traces.shape == r_one.theta_traces.shape
+    for a, b in zip(r_blk.cell_probabilities, r_one.cell_probabilities):
+        np.testing.assert_allclose(a, b, atol=0.08)
