@@ -84,14 +84,15 @@ class _Partition:
         return edges_to - self.gamma * self.strength[v] * self.comm_strength[target] / self.m2
 
     def move_nodes(self, rng: np.random.Generator, max_iters: int = 20) -> bool:
+        from collections import deque
+
         indptr, indices, data = self.A.indptr, self.A.indices, self.A.data
         improved_any = False
         order = rng.permutation(self.n)
-        stable = 0
         it = 0
-        queue = list(order)
+        queue = deque(order)
         while queue and it < max_iters * self.n:
-            v = queue.pop(0)
+            v = queue.popleft()
             it += 1
             cv = self.membership[v]
             # remove v from its community
@@ -167,9 +168,9 @@ def leiden(
         from infercnv_tpu.utils.logging import log_warn
 
         log_warn(f"native Leiden unavailable; the pure-Python fallback on "
-                 f"{A.shape[0]} nodes will be slow (its move queue is "
-                 "list-based) — check that infercnv_tpu/native/leiden.cpp "
-                 "compiled (g++ present, INFERCNV_TPU_NO_NATIVE unset)")
+                 f"{A.shape[0]} nodes is interpreter-bound and will be slow "
+                 "— check that infercnv_tpu/native/leiden.cpp compiled "
+                 "(g++ present, INFERCNV_TPU_NO_NATIVE unset)")
     rng = np.random.default_rng(seed)
     n = A.shape[0]
     total_weight = float(A.sum())
