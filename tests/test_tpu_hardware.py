@@ -44,7 +44,10 @@ resid[4:8, 140:170] -= 0.5
 engine = CnvEngine(go, hmm, EngineConfig(), use_pallas=True)
 assert not engine._pallas_interpret, "expected compiled (non-interpret) kernel on TPU"
 got = np.asarray(engine._viterbi(jnp.asarray(resid)))
-exp = viterbi_per_group(resid, go, hmm)
+# impl='perchr' is the INDEPENDENT XLA-scan implementation — since the
+# round-3 unification, the default packed path IS the engine's kernel, so
+# comparing against it would be a self-check
+exp = viterbi_per_group(resid, go, hmm, impl="perchr")
 assert np.array_equal(got, exp), "TPU-compiled Pallas Viterbi != reference path"
 
 # median + banded-smooth kernels, compiled (interpret=False)
