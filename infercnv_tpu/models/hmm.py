@@ -276,8 +276,13 @@ _PACKED_RUNNERS: dict = {}
 
 def _packed_runner(layout, params: HMMParams, use_pallas: bool,
                    interpret: bool, unroll: int, mesh=None):
-    key = (id(layout), params.means.tobytes(), params.sds.tobytes(),
-           params.t, use_pallas, interpret, unroll, id(mesh))
+    # content keys, never id(): a freed layout/mesh address can be reused
+    # by a different object and silently hit the wrong compiled program
+    mesh_key = (None if mesh is None else
+                (tuple(d.id for d in mesh.devices.flat), mesh.axis_names))
+    key = (layout.num_genes, layout.gather.tobytes(),
+           params.means.tobytes(), params.sds.tobytes(),
+           params.t, use_pallas, interpret, unroll, mesh_key)
     fn = _PACKED_RUNNERS.get(key)
     if fn is None:
         from infercnv_tpu.ops.viterbi_pack import viterbi_packed

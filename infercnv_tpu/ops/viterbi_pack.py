@@ -97,13 +97,23 @@ class PackedLayout:
                             num_genes=gene_order.num_genes)
 
 
-# gene_order id -> layout memo (a process holds only a handful of genomes;
-# GeneOrder carries numpy arrays so it is not hashable for lru_cache)
+# genome-content -> layout memo (a process holds only a handful of genomes;
+# GeneOrder carries numpy arrays so it is not hashable for lru_cache).
+# Keyed on CONTENT, never id(): a garbage-collected GeneOrder's address can
+# be reused by a different genome, which would silently return the wrong
+# packing.
 _LAYOUT_MEMO: dict = {}
 
 
+def layout_key(gene_order: GeneOrder) -> tuple:
+    """Hashable content fingerprint of the chromosome structure (everything
+    the packing depends on)."""
+    return (gene_order.num_genes, tuple(gene_order.chr_names),
+            gene_order.chr_ids.tobytes())
+
+
 def get_layout(gene_order: GeneOrder) -> PackedLayout:
-    key = id(gene_order)
+    key = layout_key(gene_order)
     hit = _LAYOUT_MEMO.get(key)
     if hit is None:
         hit = PackedLayout.from_gene_order(gene_order)

@@ -258,7 +258,7 @@ def _clear_noise(obj: InferCNV, cfg: RunConfig) -> None:
 
 def _plot_states(obj: InferCNV, values: np.ndarray, cfg: RunConfig,
                  output_filename: str, title: str, x_center: float,
-                 x_range) -> None:
+                 x_range, row_order_cache=None) -> None:
     """Render a state/proxy-value matrix with the standard heatmap layout
     (reference plots at steps 17 and 20, inferCNV_ops.R:1330-1351, 1483-1500)."""
     from infercnv_tpu.viz.heatmap import plot_cnv as _plot_cnv
@@ -276,6 +276,7 @@ def _plot_states(obj: InferCNV, values: np.ndarray, cfg: RunConfig,
                   cluster_references=cfg.cluster_references,
                   x_center=x_center, x_range=x_range,
                   plot_chr_scale=cfg.plot_chr_scale, chr_lengths=cfg.chr_lengths,
+                  row_order_cache=row_order_cache,
                   output_format=cfg.output_format)
     except Exception as e:  # plotting must never kill an analysis run
         log_warn(f"state plot failed: {e}")
@@ -296,6 +297,10 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     obj = obj.copy()
     timer = StepTimer(cfg.out_dir)
     result.timer = timer
+    # one pane ordering shared by the preliminary / state / final heatmaps
+    # (the reference orders every pane by the same stored dendrograms;
+    # recomputing per plot costs minutes at 100k cells)
+    row_order_cache: Dict = {}
 
     resume_token = f".HMM{cfg.HMM_type}" if cfg.HMM else ""
     cum_args = ckpt.relevant_args_by_step(cfg)
@@ -372,19 +377,24 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         result.infercnv_obj = obj
         return result
 
-    # STEP 2: gene filters
+    # STEP 2: gene filters.  Both criteria are per-gene-local (a gene's
+    # mean and expressing-cell count never depend on other genes), so the
+    # two reference filters (inferCNV_ops.R:2128-2213, applied
+    # sequentially) reduce to ONE removal — identical surviving set, half
+    # the full-matrix copies (copies dominate this step at 100k cells).
     if skip_past < 2:
         log_info("STEP 02: Removing lowly expressed genes")
-        drop = T.below_min_mean_expr_cutoff(obj.expr, cfg.cutoff)
-        if drop.size:
-            log_info(f"Removing {drop.size} genes below mean expr threshold {cfg.cutoff}")
-            obj.remove_genes(drop)
-        n_before = obj.num_genes
-        drop = T.genes_below_min_cells_ref(obj.expr, cfg.min_cells_per_gene)
-        if drop.size == n_before:
+        drop1 = T.below_min_mean_expr_cutoff(obj.expr, cfg.cutoff)
+        if drop1.size:
+            log_info(f"Removing {drop1.size} genes below mean expr threshold {cfg.cutoff}")
+        drop2 = T.genes_below_min_cells_ref(obj.expr, cfg.min_cells_per_gene)
+        drop2 = np.setdiff1d(drop2, drop1)
+        if drop1.size + drop2.size == obj.num_genes:
             raise RuntimeError("All genes removed! Must revisit your data, cannot continue")
+        if drop2.size:
+            log_info(f"Removed {drop2.size} genes with fewer than {cfg.min_cells_per_gene} cells expressing")
+        drop = np.union1d(drop1, drop2)
         if drop.size:
-            log_info(f"Removed {drop.size} genes with fewer than {cfg.min_cells_per_gene} cells expressing")
             obj.remove_genes(drop)
         save(2)
     if done(2):
@@ -588,6 +598,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                       chr_lengths=cfg.chr_lengths,
                       write_expr=cfg.write_expr_matrix,
                       write_phylo=cfg.write_phylo,
+                      row_order_cache=row_order_cache,
                       output_format=cfg.output_format)
             timer_plot.__exit__(None, None, None)
     if done(15):
@@ -679,7 +690,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                          output_filename=f"infercnv.17_HMM_pred{hmm_resume_token}",
                          title="17_HMM_preds",
                          x_center=float(neutral),
-                         x_range=(0.0, 6.0) if cfg.HMM_type == "i6" else (1.0, 3.0))
+                         x_range=(0.0, 6.0) if cfg.HMM_type == "i6" else (1.0, 3.0),
+                         row_order_cache=row_order_cache)
     if done(17):
         result.infercnv_obj = obj
         return result
@@ -754,7 +766,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                              f"infercnv.20_HMM_pred{hmm_resume_token}"
                              f".Pnorm_{cfg.BayesMaxPNormal:g}.repr_intensities"),
                          title="20_HMM_preds.repr_intensities",
-                         x_center=1.0, x_range=(-1.0, 3.0))
+                         x_center=1.0, x_range=(-1.0, 3.0),
+                         row_order_cache=row_order_cache)
     if done(20):
         result.infercnv_obj = obj
         return result
@@ -812,6 +825,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      write_phylo=cfg.write_phylo,
                      png_res=min(cfg.png_res, 200),
                      max_pane_rows=2000 if cfg.useRaster else 10**9,
+                     row_order_cache=row_order_cache,
                      output_format=cfg.output_format)
             timer_final.__exit__(None, None, None)
         except ImportError:

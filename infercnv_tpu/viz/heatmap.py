@@ -83,16 +83,33 @@ def _pc1_order(x_cg: np.ndarray, iters: int = 12, seed: int = 0) -> np.ndarray:
 
 
 def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
-                      cluster: bool):
+                      cluster: bool, order_cache: Optional[dict] = None):
     """Row ordering within one group plus the dendrogram that produced it:
     stored subcluster structure first (largest subcluster leading, as the
     reference's stitched dendrograms, subclusters joined at raised roots),
     each ordered by ward-linkage leaf order (PC1 order above
     ORDER_LINKAGE_MAX cells); else fresh hclust.
 
+    order_cache: optional dict shared across the pipeline's plots — the
+    reference orders every pane (preliminary, HMM states, proxy values,
+    final) by the SAME stored expression dendrograms, so later plots reuse
+    the ordering computed once on the expression matrix instead of
+    re-clustering a state matrix (also ~minutes per plot at 100k cells).
+
     Returns (order_indices, merged_linkage_or_None)."""
     if idx.size <= 2 or not cluster:
         return idx, None
+    if order_cache is not None and group in order_cache:
+        o, Z = order_cache[group]
+        if o.size == idx.size:
+            return o, Z
+    o, Z = _group_cell_order_impl(obj, group, idx)
+    if order_cache is not None:
+        order_cache[group] = (o, Z)
+    return o, Z
+
+
+def _group_cell_order_impl(obj: InferCNV, group: str, idx: np.ndarray):
     from scipy.cluster import hierarchy
 
     from infercnv_tpu.subcluster.distance import condensed_dists
@@ -220,6 +237,7 @@ def plot_cnv(
     ref_title: str = "References (Cells)",
     dynamic_resize: float = 0.0,
     max_pane_rows: int = 2000,
+    row_order_cache: Optional[dict] = None,
 ) -> Optional[str]:
     """Render the heatmap; returns the output image path.
 
@@ -257,13 +275,15 @@ def plot_cnv(
     obs_linkages: List = []
     if cluster_by_groups:
         for g, idx in obj.obs_groups.items():
-            o, Z = _group_cell_order(obj, g, np.asarray(idx), True)
+            o, Z = _group_cell_order(obj, g, np.asarray(idx), True,
+                                     row_order_cache)
             obs_order.append(o)
             obs_group_sizes.append((g, o.size))
             obs_linkages.append(Z)
     else:
         idx = obj.all_obs_idx()
-        o, Zo = _group_cell_order(obj, "all_observations", idx, True)
+        o, Zo = _group_cell_order(obj, "all_observations", idx, True,
+                                  row_order_cache)
         obs_linkages.append(Zo)
         if k_obs_groups > 1 and idx.size > k_obs_groups:
             from scipy.cluster import hierarchy
@@ -284,7 +304,8 @@ def plot_cnv(
     ref_group_sizes: List[Tuple[str, int]] = []
     ref_linkages: List = []
     for g, idx in obj.ref_groups.items():
-        o, Zr = _group_cell_order(obj, g, np.asarray(idx), cluster_references)
+        o, Zr = _group_cell_order(obj, g, np.asarray(idx), cluster_references,
+                                  row_order_cache)
         ref_order.append(o)
         ref_group_sizes.append((g, o.size))
         ref_linkages.append(Zr)
