@@ -317,3 +317,28 @@ def test_get_average_bounds():
     lo, hi = T.get_average_bounds(x)
     assert float(lo) == pytest.approx(2.5)
     assert float(hi) == pytest.approx(4.5)
+
+
+def test_merged_gene_filter_equals_sequential():
+    """Step 2 now removes both filter sets in one pass; per-gene locality
+    means the surviving set must equal the reference's sequential filters
+    (require_above_min_mean_expr_cutoff then require_above_min_cells_ref,
+    inferCNV_ops.R:2128-2213)."""
+    import numpy as np
+
+    from infercnv_tpu.ops import transforms as T
+
+    rng = np.random.default_rng(9)
+    x = rng.poisson(0.9, (40, 200)).astype(np.float32)
+    x[:, :30] = 0  # fully silent genes
+    x[:3, 30:40] = 5  # expressed in too few cells but above mean cutoff?
+    # sequential (reference semantics)
+    d1 = T.below_min_mean_expr_cutoff(x, 1.0)
+    x_seq = np.delete(x, d1, axis=1)
+    d2 = T.genes_below_min_cells_ref(x_seq, 3)
+    x_seq = np.delete(x_seq, d2, axis=1)
+    # merged (pipeline step 2)
+    drop1 = T.below_min_mean_expr_cutoff(x, 1.0)
+    drop2 = np.setdiff1d(T.genes_below_min_cells_ref(x, 3), drop1)
+    x_one = np.delete(x, np.union1d(drop1, drop2), axis=1)
+    np.testing.assert_array_equal(x_one, x_seq)
