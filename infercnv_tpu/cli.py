@@ -63,6 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--BayesMaxPNormal", type=float, default=0.5)
     p.add_argument("--no_reassignCNVs", action="store_true")
     p.add_argument("--sim_method", default="meanvar")
+    p.add_argument("--sim_foreground", action="store_true")
 
     # subclustering
     p.add_argument("--analysis_mode", default="subclusters",
@@ -205,6 +206,7 @@ def main(argv=None) -> int:
         BayesMaxPNormal=args.BayesMaxPNormal,
         reassignCNVs=not args.no_reassignCNVs,
         sim_method=args.sim_method,
+        sim_foreground=args.sim_foreground,
         analysis_mode=args.analysis_mode,
         tumor_subcluster_partition_method=args.tumor_subcluster_partition_method,
         tumor_subcluster_pval=args.tumor_subcluster_pval,

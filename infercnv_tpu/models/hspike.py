@@ -185,3 +185,59 @@ def build_hspike(
         normalize_counts_by_seq_depth(hspike.expr, median_norm_libsize)
     )
     return hspike
+
+
+def sim_foreground(obj: InferCNV, sim_method: str = "meanvar",
+                   seed: int = 12345) -> None:
+    """Replace EVERY cell group's expression with counts simulated from the
+    group's own gene means — the reference's developer/debug option
+    (.sim_foreground, R/inferCNV_hidden_spike.R:219-281; gated by
+    run(sim_foreground=TRUE), R/inferCNV_ops.R:592-593).
+
+    obj.expr must be depth-normalized (run() step 3); afterwards the matrix
+    is re-normalized to the median normal-cell library size (:280).
+    Mutates obj in place."""
+    log_info("## simulating foreground")
+    expr = np.asarray(obj.expr)
+    normal_idx = obj.all_ref_idx() if obj.has_reference_cells() else obj.all_obs_idx()
+    target = float(np.median(expr[normal_idx].sum(axis=1)))
+    groups = {**obj.obs_groups, **obj.ref_groups}
+
+    mv_spline = dropout_spline = None
+    if sim_method == "meanvar":
+        all_groups = list(obj.obs_groups.values()) + list(obj.ref_groups.values())
+        m_tab, v_tab = get_mean_var_table(expr, all_groups)
+        mv_spline = fit_mean_var_spline(m_tab, v_tab)
+        m0, p0 = get_mean_vs_p0_table(expr, all_groups)
+        dropout_spline = fit_dropout_spline(m0, p0)
+    elif sim_method == "simple":
+        # reference builds the mean->P(0) table from the NORMAL cells only
+        m0, p0 = get_mean_vs_p0_table(expr, [normal_idx])
+        dropout_spline = fit_dropout_spline(m0, p0)
+    elif sim_method == "splatter":
+        from infercnv_tpu.sim.splatter import estimate_splatter_params
+
+        sp = estimate_splatter_params(obj.counts[np.asarray(normal_idx)].T)
+    else:
+        raise ValueError(f"not recognizing sim_method: {sim_method!r}")
+
+    key = jax.random.PRNGKey(seed + 219)  # independent of the hspike stream
+    out = expr.copy()
+    for name, idx in groups.items():
+        idx = np.asarray(idx)
+        gene_means = expr[idx].mean(axis=0)
+        gene_means = np.where(gene_means == 0, 1e-3, gene_means)
+        key, k = jax.random.split(key)
+        if sim_method == "meanvar":
+            sim = simulate_meanvar_counts(k, gene_means, mv_spline,
+                                          idx.size, dropout_spline)
+        elif sim_method == "simple":
+            sim = simulate_simple_counts(k, gene_means, idx.size, 0.1,
+                                         dropout_spline)
+        else:
+            from infercnv_tpu.sim.splatter import simulate_splatter_counts
+
+            sp.nCells = idx.size
+            sim = simulate_splatter_counts(k, sp, gene_means, idx.size)
+        out[idx] = np.asarray(sim)
+    obj.expr = np.asarray(normalize_counts_by_seq_depth(out, target))

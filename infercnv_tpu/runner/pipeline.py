@@ -411,6 +411,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                                           aggregate_normals=cfg.hspike_aggregate_normals,
                                           seed=cfg.seed,
                                           common_dispersion=cfg.hspike_common_dispersion)
+            if cfg.sim_foreground:
+                # developer/debug option (reference inferCNV_ops.R:592-593)
+                from infercnv_tpu.models.hspike import sim_foreground
+
+                sim_foreground(obj, sim_method=cfg.sim_method, seed=cfg.seed)
         save(3)
     if done(3):
         result.infercnv_obj = obj

@@ -124,3 +124,42 @@ def test_build_hspike_auto_dispersion():
     # one normal group -> 100 simnorm + 100 spike_tumor cells
     assert h is not None and h.expr.shape[0] == 200
     assert (h.expr >= 0).all()
+
+
+def test_sim_foreground_replaces_expression():
+    """run(sim_foreground=True) debug option: every group's expression is
+    re-simulated from its own gene means and re-normalized to the median
+    normal library size (reference .sim_foreground,
+    inferCNV_hidden_spike.R:219-281)."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.models.hspike import sim_foreground
+    from infercnv_tpu.ops import transforms as T
+
+    rng = np.random.default_rng(8)
+    G, C = 150, 50
+    go = GeneOrder(names=tuple(f"g{i}" for i in range(G)),
+                   chr_names=("chr1",), chr_ids=np.zeros(G, np.int32),
+                   start=np.arange(G), stop=np.arange(G) + 1)
+    counts = rng.poisson(rng.gamma(2.0, 20.0, G)[None, :] *
+                         np.ones((C, 1))).astype(np.float32)
+    obj = InferCNV(expr=counts.copy(), counts=counts, gene_order=go,
+                   cell_names=[f"c{i}" for i in range(C)],
+                   ref_groups={"n": np.arange(20)},
+                   obs_groups={"t": np.arange(20, C)})
+    obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
+    before = obj.expr.copy()
+    gm_before = before[20:].mean(axis=0)
+    sim_foreground(obj, sim_method="meanvar", seed=1)
+    after = obj.expr
+    assert after.shape == before.shape
+    assert not np.allclose(after, before)  # actually re-simulated
+    # per-gene group means are preserved in distribution (same trend)
+    gm_after = after[20:].mean(axis=0)
+    r = np.corrcoef(gm_before, gm_after)[0, 1]
+    assert r > 0.95
+    # re-normalized: every library size equals the target median
+    libs = after.sum(axis=1)
+    np.testing.assert_allclose(libs, libs[0], rtol=1e-4)
