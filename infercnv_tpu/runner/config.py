@@ -74,6 +74,11 @@ class RunConfig:
     final_scale_limits: Union[None, str, Sequence[float]] = None
     final_center_val: Optional[float] = None
     debug: bool = False
+    # accepted for API parity (reference sets a global thread count for
+    # parallelDist/mclapply, inferCNV_constants.R:13-14); here the compiled
+    # device programs own the parallelism and host BLAS threads are managed
+    # by the runtime, so the value is intentionally not consumed — use
+    # n_devices to scale out instead
     num_threads: int = 4
     plot_steps: bool = False
     inspect_subclusters: bool = True
