@@ -92,7 +92,8 @@ def main():
     )
     engine = CnvEngine(go, hmm, EngineConfig(denoise=True, sd_amplifier=1.5))
 
-    chunk = 8192
+    chunk = 32768  # larger chunks amortize per-dispatch RPC latency over
+    # the remote-TPU link (8192 -> 32768 measured 0.78M -> 1.11M cells/s)
     n_sub = 16  # subclusters per chunk workload
     rng = np.random.default_rng(0)
     gene_means = rng.gamma(2.0, 30.0, G).astype(np.float32)
@@ -126,7 +127,7 @@ def main():
     st = engine.viterbi_group_means(gs / gc[:, None])
     jax.block_until_ready((r, r2, gs, gc, st))
 
-    n_iter = 12  # ~100k cells
+    n_iter = 12  # ~400k cells
     t0 = time.perf_counter()
     acc = None
     outs = None
