@@ -1,3 +1,8 @@
+"""Bare-ENGINE 100k-cell streaming benchmark with pre-assigned subcluster
+labels — measures compute-path throughput only.  The PRODUCT-level
+benchmark (counts -> Leiden -> HMM -> Bayes -> plots through run()) is
+benchmarks/scale100k_run.py; see BENCHMARKS.md round 3."""
+
 import os, sys, time
 import numpy as np, jax, jax.numpy as jnp
 

@@ -12,3 +12,9 @@ from infercnv_tpu.io.rds import (  # noqa: F401
     read_rds,
     write_rds_matrix,
 )
+
+from infercnv_tpu.io.sharded import (  # noqa: F401,E402
+    global_cell_array,
+    host_cell_slice,
+    load_counts_shard,
+)
