@@ -135,3 +135,34 @@ def test_color_safe_palette_differs():
     assert default(0.0) != safe(0.0)
     # both white at center
     assert np.allclose(default(0.5), safe(0.5), atol=0.02)
+
+
+def test_plot_cnv_chr_scale(tmp_path):
+    """plot_chr_scale resamples the gene axis onto bp proportions
+    (reference inferCNV_heatmap.R:352-397)."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.viz.heatmap import plot_cnv
+
+    rng = np.random.default_rng(12)
+    G = 60
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=("chr1", "chr2"),
+        chr_ids=np.repeat([0, 1], 30).astype(np.int32),
+        start=np.arange(G) * 1000, stop=np.arange(G) * 1000 + 900,
+    )
+    obj = InferCNV(
+        expr=rng.normal(1.0, 0.2, (30, G)).astype(np.float32),
+        counts=None, gene_order=go,
+        cell_names=[f"c{i}" for i in range(30)],
+        ref_groups={"n": np.arange(10)},
+        obs_groups={"t": np.arange(10, 30)},
+    )
+    out = plot_cnv(obj, out_dir=str(tmp_path), output_filename="chr_scale",
+                   plot_chr_scale=True, chr_lengths=[40_000, 35_000])
+    import os
+
+    assert out is not None and os.path.exists(out)
