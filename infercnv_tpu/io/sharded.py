@@ -57,8 +57,8 @@ def _h5ad_shard(path: str, lo: int, hi: int, layer: Optional[str]):
             counts = np.asarray(mat.toarray().T, np.float32)      # [shard, G]
             from infercnv_tpu.io.loaders import _h5_string_array
 
-            gene_names = _h5_string_array(
-                g["features"]["name"] if "features" in g else g["genes"])
+            feats = g["features"]["name" if "name" in g["features"] else "id"]
+            gene_names = _h5_string_array(feats)
             cells = _h5_string_array(g["barcodes"])[lo:hi]
             return counts, gene_names, cells
         from infercnv_tpu.io.loaders import _h5_index

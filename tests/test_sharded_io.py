@@ -122,3 +122,33 @@ def test_engine_on_host_sharded_input(tmp_path):
     ml0, mr0, noise0 = plain.ref_stats(counts[:16], nf)
     _r0, st0 = plain.full_chunk(counts, nf, ml0, mr0, noise0)
     np.testing.assert_array_equal(np.asarray(states), np.asarray(st0))
+
+
+def test_load_counts_shard_10x_h5(tmp_path):
+    """10x CellRanger v3 .h5 (CSC genes x cells): column slices per host."""
+    import h5py
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(4)
+    G, C = 25, 41
+    x_gc = (rng.random((G, C)) < 0.4) * rng.integers(1, 7, (G, C))
+    m = sp.csc_matrix(x_gc.astype(np.float32))
+    path = str(tmp_path / "cellranger.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("matrix")
+        g.create_dataset("data", data=m.data)
+        g.create_dataset("indices", data=m.indices)
+        g.create_dataset("indptr", data=m.indptr)
+        g.create_dataset("shape", data=np.array([G, C]))
+        g.create_dataset("barcodes", data=np.array(
+            [f"bc{i}".encode() for i in range(C)]))
+        feats = g.create_group("features")
+        feats.create_dataset("name", data=np.array(
+            [f"g{i}".encode() for i in range(G)]))
+    got = np.zeros((0, G), np.float32)
+    for h in range(8):
+        shard, genes, cells, (lo, hi) = load_counts_shard(path, h, 8)
+        assert genes == [f"g{i}" for i in range(G)]
+        assert cells == [f"bc{i}" for i in range(lo, hi)]
+        got = np.concatenate([got, shard])
+    np.testing.assert_array_equal(got, x_gc.T)
