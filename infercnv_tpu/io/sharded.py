@@ -122,7 +122,20 @@ def load_counts_shard(
             if "matrix" in f and "X" not in f:
                 num_cells = int(f["matrix"]["shape"][1])
             else:
-                node = f["X"] if "X" in f else f["layers"][layer]
+                # probe the SAME node _h5ad_shard will read, so the slice
+                # bounds always match the matrix actually loaded
+                if layer:
+                    if "layers" not in f or layer not in f["layers"]:
+                        raise KeyError(
+                            f"{path!r}: requested layer {layer!r} not found "
+                            f"in /layers")
+                    node = f["layers"][layer]
+                elif "X" in f:
+                    node = f["X"]
+                else:
+                    raise KeyError(
+                        f"{path!r}: no /X matrix and no layer requested; "
+                        "pass layer= to select one of /layers")
                 if isinstance(node, h5py.Dataset):
                     num_cells = int(node.shape[0])
                 else:

@@ -281,6 +281,7 @@ def _packed_runner(layout, params: HMMParams, use_pallas: bool,
     mesh_key = (None if mesh is None else
                 (tuple(d.id for d in mesh.devices.flat), mesh.axis_names))
     key = (layout.num_genes, layout.gather.tobytes(),
+           layout.valid.tobytes(), layout.boundaries.tobytes(),
            params.means.tobytes(), params.sds.tobytes(),
            params.t, use_pallas, interpret, unroll, mesh_key)
     fn = _PACKED_RUNNERS.get(key)

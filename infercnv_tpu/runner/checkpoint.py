@@ -32,6 +32,7 @@ def relevant_args_by_step(cfg) -> List[Dict]:
         3: {"HMM": cfg.HMM, "HMM_type": cfg.HMM_type, "sim_method": cfg.sim_method,
             "sim_foreground": cfg.sim_foreground,
             "hspike_aggregate_normals": cfg.hspike_aggregate_normals,
+            "hspike_common_dispersion": cfg.hspike_common_dispersion,
             "seed": cfg.seed},
         4: {},
         5: {"scale_data": cfg.scale_data},

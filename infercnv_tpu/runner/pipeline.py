@@ -277,6 +277,8 @@ def _plot_states(obj: InferCNV, values: np.ndarray, cfg: RunConfig,
                   x_center=x_center, x_range=x_range,
                   plot_chr_scale=cfg.plot_chr_scale, chr_lengths=cfg.chr_lengths,
                   row_order_cache=row_order_cache,
+                  png_res=cfg.png_res,
+                  max_pane_rows=2000 if cfg.useRaster else 10**9,
                   output_format=cfg.output_format)
     except Exception as e:  # plotting must never kill an analysis run
         log_warn(f"state plot failed: {e}")
@@ -604,6 +606,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                       write_expr=cfg.write_expr_matrix,
                       write_phylo=cfg.write_phylo,
                       row_order_cache=row_order_cache,
+                      png_res=cfg.png_res,
+                      max_pane_rows=2000 if cfg.useRaster else 10**9,
                       output_format=cfg.output_format)
             timer_plot.__exit__(None, None, None)
     if done(15):
@@ -828,7 +832,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      chr_lengths=cfg.chr_lengths,
                      write_expr=cfg.write_expr_matrix,
                      write_phylo=cfg.write_phylo,
-                     png_res=min(cfg.png_res, 200),
+                     png_res=cfg.png_res,
                      max_pane_rows=2000 if cfg.useRaster else 10**9,
                      row_order_cache=row_order_cache,
                      output_format=cfg.output_format)

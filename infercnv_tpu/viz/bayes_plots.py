@@ -30,43 +30,48 @@ def _mpl():
 
 def plot_cnv_probabilities(result: BayesResult, out_dir: str,
                            output_filename: str = "cnvProbs") -> Optional[str]:
-    """Stacked per-region state-probability bars (reference plot_cnv_prob)."""
+    """Stacked per-region state-probability bars (reference plot_cnv_prob).
+
+    ALL regions are plotted (as the reference does); beyond 200 regions per
+    figure the bars become unreadable and the canvas would exceed Agg's
+    2^16-pixel limit, so additional pages are written as
+    ``<name>.page2.png`` etc."""
     if result.cnv_state_probabilities is None or not result.cnv_region_names:
         return None
     plt = _mpl()
     probs = result.cnv_state_probabilities  # [S, R]
     S, R = probs.shape
     names = list(result.cnv_region_names)
-    # cap figure width: beyond ~200 regions per-region bars are unreadable
-    # and the canvas would exceed Agg's 2^16-pixel limit; keep the regions
-    # with the most extreme posteriors and say so
-    MAXR = 200
-    if R > MAXR:
-        extremity = np.abs(probs - 1.0 / S).max(axis=0)
-        keep = np.sort(np.argsort(-extremity)[:MAXR])
-        log_info(f"-cnvProbs: plotting the {MAXR} most extreme of {R} "
-                 "regions (full posteriors in CNV_State_Probabilities.dat)")
-        probs = probs[:, keep]
-        names = [names[i] for i in keep]
-        R = MAXR
     os.makedirs(out_dir, exist_ok=True)
-    fig, ax = plt.subplots(figsize=(max(6, R * 0.25), 4))
-    bottom = np.zeros(R)
+    PER_PAGE = 200
+    n_pages = -(-R // PER_PAGE)
+    if n_pages > 1:
+        log_info(f"-cnvProbs: {R} regions across {n_pages} pages")
+    first_path = None
     cmap = plt.get_cmap("RdBu_r")
-    for s in range(S):
-        ax.bar(np.arange(R), probs[s], bottom=bottom,
-               color=cmap(s / max(S - 1, 1)), label=f"state {s+1}")
-        bottom += probs[s]
-    ax.set_xticks(np.arange(R))
-    ax.set_xticklabels(names, rotation=90, fontsize=5)
-    ax.set_ylabel("P(state)")
-    ax.legend(fontsize=6, ncol=S)
-    path = os.path.join(out_dir, f"{output_filename}.png")
-    fig.tight_layout()
-    fig.savefig(path, dpi=150)
-    plt.close(fig)
-    log_info(f"-wrote {path}")
-    return path
+    for page in range(n_pages):
+        sl = slice(page * PER_PAGE, min((page + 1) * PER_PAGE, R))
+        p = probs[:, sl]
+        nm = names[sl]
+        n = p.shape[1]
+        fig, ax = plt.subplots(figsize=(max(6, n * 0.25), 4))
+        bottom = np.zeros(n)
+        for s in range(S):
+            ax.bar(np.arange(n), p[s], bottom=bottom,
+                   color=cmap(s / max(S - 1, 1)), label=f"state {s+1}")
+            bottom += p[s]
+        ax.set_xticks(np.arange(n))
+        ax.set_xticklabels(nm, rotation=90, fontsize=5)
+        ax.set_ylabel("P(state)")
+        ax.legend(fontsize=6, ncol=S)
+        suffix = "" if page == 0 else f".page{page + 1}"
+        path = os.path.join(out_dir, f"{output_filename}{suffix}.png")
+        fig.tight_layout()
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        log_info(f"-wrote {path}")
+        first_path = first_path or path
+    return first_path
 
 
 def plot_cell_probabilities(result: BayesResult, out_dir: str,
@@ -76,40 +81,46 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
     if not result.cell_probabilities:
         return None
     plt = _mpl()
-    cell_probs = result.cell_probabilities
+    cell_probs = list(result.cell_probabilities)
     names = list(result.cnv_region_names)
-    MAXP = 64  # panel cap: 1000+ region panels exceed the canvas pixel
-    # limit and render nothing a human can read
-    if len(cell_probs) > MAXP:
-        log_info(f"-cellProbs: plotting the first {MAXP} of "
-                 f"{len(cell_probs)} regions")
-        cell_probs = cell_probs[:MAXP]
-        names = names[:MAXP]
-    n = len(cell_probs)
-    ncol = min(4, n)
-    nrow = -(-n // ncol)
-    fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 2.2 * nrow),
-                             squeeze=False)
-    cmap = plt.get_cmap("RdBu_r")
-    for ri, cp in enumerate(cell_probs):
-        ax = axes[ri // ncol][ri % ncol]
-        S, C = cp.shape
-        bottom = np.zeros(C)
-        for s in range(S):
-            ax.bar(np.arange(C), cp[s], bottom=bottom, width=1.0,
-                   color=cmap(s / max(S - 1, 1)))
-            bottom += cp[s]
-        ax.set_title(names[ri], fontsize=6)
-        ax.set_xticks([])
-    for k in range(n, nrow * ncol):
-        axes[k // ncol][k % ncol].axis("off")
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"{output_filename}.png")
-    fig.tight_layout()
-    fig.savefig(path, dpi=150)
-    plt.close(fig)
-    log_info(f"-wrote {path}")
-    return path
+    # ALL regions are plotted; 64 panels per page keeps each figure within
+    # Agg's canvas limit, extra pages get a .pageN suffix
+    PER_PAGE = 64
+    n_pages = -(-len(cell_probs) // PER_PAGE)
+    if n_pages > 1:
+        log_info(f"-cellProbs: {len(cell_probs)} regions across "
+                 f"{n_pages} pages")
+    cmap = plt.get_cmap("RdBu_r")
+    first_path = None
+    for page in range(n_pages):
+        cps = cell_probs[page * PER_PAGE:(page + 1) * PER_PAGE]
+        nms = names[page * PER_PAGE:(page + 1) * PER_PAGE]
+        n = len(cps)
+        ncol = min(4, n)
+        nrow = -(-n // ncol)
+        fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 2.2 * nrow),
+                                 squeeze=False)
+        for ri, cp in enumerate(cps):
+            ax = axes[ri // ncol][ri % ncol]
+            S, C = cp.shape
+            bottom = np.zeros(C)
+            for s in range(S):
+                ax.bar(np.arange(C), cp[s], bottom=bottom, width=1.0,
+                       color=cmap(s / max(S - 1, 1)))
+                bottom += cp[s]
+            ax.set_title(nms[ri], fontsize=6)
+            ax.set_xticks([])
+        for k in range(n, nrow * ncol):
+            axes[k // ncol][k % ncol].axis("off")
+        suffix = "" if page == 0 else f".page{page + 1}"
+        path = os.path.join(out_dir, f"{output_filename}{suffix}.png")
+        fig.tight_layout()
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        log_info(f"-wrote {path}")
+        first_path = first_path or path
+    return first_path
 
 
 def post_prob_normal_heatmap(obj: InferCNV, result: BayesResult,

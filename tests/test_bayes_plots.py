@@ -54,3 +54,28 @@ def test_bayes_plot_files_written(tmp_path):
     written = os.listdir(out)
     assert any("cnvProb" in f or "cnv" in f.lower() for f in written), written
     assert len(written) >= 3, written
+
+
+def test_bayes_plot_paging_covers_all_regions(tmp_path):
+    """No truncation: >200 regions page into multiple cnvProbs files and
+    >64 regions into multiple cellProbs files (reference plots every
+    region, R/inferCNV_BayesNet.R:808-844)."""
+    from infercnv_tpu.models.bayes import BayesResult
+    from infercnv_tpu.viz.bayes_plots import (
+        plot_cell_probabilities,
+        plot_cnv_probabilities,
+    )
+
+    rng = np.random.default_rng(3)
+    R = 210
+    res = BayesResult()
+    res.cnv_region_names = [f"chr1-region_{i}" for i in range(R)]
+    res.cnv_state_probabilities = rng.dirichlet(np.ones(6), size=R).T
+    res.cell_probabilities = [rng.dirichlet(np.ones(6), size=3).T
+                              for _ in range(70)]
+    out = str(tmp_path)
+    plot_cnv_probabilities(res, out)
+    plot_cell_probabilities(res, out)
+    files = os.listdir(out)
+    assert "cnvProbs.png" in files and "cnvProbs.page2.png" in files, files
+    assert "cellProbs.png" in files and "cellProbs.page2.png" in files, files
