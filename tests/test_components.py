@@ -153,3 +153,78 @@ def test_row_median_exact(rng):
     # with duplicates and negatives
     x = np.array([[1.0, 1.0, -2.0, -2.0], [0.0, 0.0, 0.0, 5.0]], np.float32)
     np.testing.assert_array_equal(np.asarray(row_median(x)), np.median(x, axis=1))
+
+
+def test_sample_object_upsamples_small_groups(rng):
+    """Reference upsampling branch (infercnv_sampling.R:170-244): groups
+    below n_cells are duplicated up to EXACTLY n_cells with _k renames."""
+    obj = _small_obj(rng, C=40)
+    obj.tumor_subclusters = {
+        "subclusters": {"tumor": {"tumor_s1": np.arange(4, 30),
+                                  "tumor_s2": np.arange(30, 40)}},
+        "hc": {},
+    }
+    up = sample_object(obj, n_cells=10)  # normal group has only 4 cells
+    assert up.ref_groups["normal"].size == 10
+    assert up.obs_groups["tumor"].size == 10
+    names = [up.cell_names[i] for i in up.ref_groups["normal"]]
+    # every upsampled cell is renamed <cell>_<copy>
+    assert all("_" in n for n in names)
+    assert len(set(names)) == 10
+    # 10 = 4 cells x 2 copies + 2 extras
+    bases = sorted(n.rsplit("_", 1)[0] for n in names)
+    assert len(set(bases)) == 4
+    # duplicated rows carry identical expression
+    src = {obj.cell_names[i]: obj.expr[i] for i in obj.ref_groups["normal"]}
+    for i in up.ref_groups["normal"]:
+        base = up.cell_names[i].rsplit("_", 1)[0]
+        np.testing.assert_array_equal(up.expr[i], src[base])
+    up.validate()
+
+
+def test_sample_object_every_n_above_m(rng):
+    """every_n/above_m mode (infercnv_sampling.R:100-167): groups above
+    above_m keep 1-in-every_n plus one cell per unrepresented subcluster;
+    smaller groups pass through untouched."""
+    obj = _small_obj(rng, C=40)
+    obj.tumor_subclusters = {
+        "subclusters": {"tumor": {"tumor_s1": np.arange(4, 37),
+                                  "tumor_s2": np.arange(37, 40)}},
+        "hc": {},
+    }
+    sub = sample_object(obj, every_n=5, above_m=10)
+    # normal (4 cells) <= above_m: untouched
+    assert sub.ref_groups["normal"].size == 4
+    # tumor (36 cells): ceil(36/5) = 8 cells, +1 if a subcluster was missed
+    t = sub.obs_groups["tumor"].size
+    assert 8 <= t <= 9
+    subs = sub.tumor_subclusters["subclusters"]["tumor"]
+    assert all(len(v) >= 1 for v in subs.values())
+    sub.validate()
+
+    with pytest.raises(ValueError):
+        sample_object(obj, every_n=1, above_m=10)
+    with pytest.raises(ValueError):
+        sample_object(obj, n_cells=None)
+
+
+def test_sample_object_roundtrip_bundled_example(tmp_path):
+    """Round-trip down- and up-sampling on the bundled example
+    (VERDICT r3 item 5)."""
+    from infercnv_tpu.io import load_bundled_example
+    from infercnv_tpu.viz.per_group import plot_per_group
+
+    obj = load_bundled_example()
+    down = sample_object(obj, n_cells=20)
+    assert all(v.size == 20 for v in down.ref_groups.values())
+    assert all(v.size == 20 for v in down.obs_groups.values())
+    down.validate()
+    up = sample_object(down, n_cells=35)
+    assert all(v.size == 35 for v in up.ref_groups.values())
+    assert all(v.size == 35 for v in up.obs_groups.values())
+    up.validate()
+    paths = plot_per_group(up, str(tmp_path), png_res=80)
+    import os
+
+    assert len(paths) == len(up.ref_groups) + len(up.obs_groups)
+    assert all(p and os.path.exists(p) for p in paths)
