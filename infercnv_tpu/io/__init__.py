@@ -10,6 +10,9 @@ from infercnv_tpu.io.loaders import (  # noqa: F401
 from infercnv_tpu.io.rds import (  # noqa: F401
     read_rda,
     read_rds,
+    read_rds_infercnv,
+    save_rds_infercnv,
+    write_rds,
     write_rds_matrix,
 )
 

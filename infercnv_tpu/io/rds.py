@@ -549,6 +549,369 @@ def write_rds_matrix(path: str, mat: np.ndarray,
         f.write(out.getvalue())
 
 
+class _RdsWriter:
+    """Emitter for R serialization format version 2 (XDR).
+
+    Original implementation from the documented format (R internals manual,
+    "Serialization Formats") — the counterpart of :class:`_Reader`.  No
+    reference-table compression is emitted (fresh SYMSXP per use), which is
+    valid input for R's readRDS().
+    """
+
+    def __init__(self):
+        self._out = io.BytesIO()
+
+    # -- primitives --------------------------------------------------------
+    def wi(self, v: int) -> None:
+        self._out.write(struct.pack(">i", v))
+
+    def header(self) -> None:
+        self._out.write(b"X\n")
+        self.wi(2)          # serialization version
+        self.wi(0x030500)   # writer R version
+        self.wi(0x020300)   # min reader R version
+
+    def _flags(self, ptype: int, has_attr: bool = False, has_tag: bool = False,
+               is_obj: bool = False, levels: int = 0) -> None:
+        self.wi(ptype | (levels << 12) | (0x100 if is_obj else 0)
+                | (0x200 if has_attr else 0) | (0x400 if has_tag else 0))
+
+    def charsxp(self, s: str) -> None:
+        b = str(s).encode("utf-8")
+        self._flags(CHARSXP, levels=8)  # UTF-8 encoding bit
+        self.wi(len(b))
+        self._out.write(b)
+
+    def sym(self, name: str) -> None:
+        self._flags(SYMSXP)
+        self.charsxp(name)
+
+    def null(self) -> None:
+        self.wi(NILVALUE_SXP)
+
+    # -- attribute pairlist -------------------------------------------------
+    def attrs(self, pairs: List[Tuple[str, Any]]) -> None:
+        """Emit an attribute pairlist [(name, python value)...] + NIL."""
+        for name, value in pairs:
+            self._flags(LISTSXP, has_tag=True)
+            self.sym(name)
+            self.value(value)
+        self.null()
+
+    # -- vectors -------------------------------------------------------------
+    def int_vec(self, arr, attr_pairs: Optional[List] = None,
+                is_obj: bool = False) -> None:
+        arr = np.asarray(arr, np.int32).ravel()
+        self._flags(INTSXP, has_attr=bool(attr_pairs), is_obj=is_obj)
+        self.wi(arr.size)
+        self._out.write(arr.astype(">i4").tobytes())
+        if attr_pairs:
+            self.attrs(attr_pairs)
+
+    def real_vec(self, arr, attr_pairs: Optional[List] = None) -> None:
+        arr = np.asarray(arr, np.float64).ravel()
+        self._flags(REALSXP, has_attr=bool(attr_pairs))
+        self.wi(arr.size)
+        self._out.write(arr.astype(">f8").tobytes())
+        if attr_pairs:
+            self.attrs(attr_pairs)
+
+    def lgl_vec(self, arr, attr_pairs: Optional[List] = None) -> None:
+        arr = np.asarray(arr, bool).ravel()
+        self._flags(LGLSXP, has_attr=bool(attr_pairs))
+        self.wi(arr.size)
+        self._out.write(arr.astype(">i4").tobytes())
+        if attr_pairs:
+            self.attrs(attr_pairs)
+
+    def str_vec(self, strs: List[str], attr_pairs: Optional[List] = None,
+                is_obj: bool = False) -> None:
+        self._flags(STRSXP, has_attr=bool(attr_pairs), is_obj=is_obj)
+        self.wi(len(strs))
+        for s in strs:
+            self.charsxp(s)
+        if attr_pairs:
+            self.attrs(attr_pairs)
+
+    def vec_list(self, items: List[Any], attr_pairs: Optional[List] = None,
+                 is_obj: bool = False) -> None:
+        self._flags(VECSXP, has_attr=bool(attr_pairs), is_obj=is_obj)
+        self.wi(len(items))
+        for it in items:
+            self.value(it)
+        if attr_pairs:
+            self.attrs(attr_pairs)
+
+    # -- composites ----------------------------------------------------------
+    def named_list(self, d: Dict[str, Any],
+                   extra_attrs: Optional[List] = None,
+                   is_obj: bool = False) -> None:
+        pairs: List = [("names", RString(list(d.keys())))] if d else []
+        pairs += list(extra_attrs or [])
+        self.vec_list(list(d.values()), attr_pairs=pairs or None,
+                      is_obj=is_obj)
+
+    def matrix(self, mat: np.ndarray, rownames=None, colnames=None) -> None:
+        """Numeric matrix [rows, cols], column-major, dim + dimnames attrs."""
+        mat = np.asarray(mat, np.float64)
+        pairs: List = [("dim", RInt(np.asarray(mat.shape, np.int32)))]
+        if rownames is not None or colnames is not None:
+            dn = [RString([str(s) for s in rownames]) if rownames is not None else RNull(),
+                  RString([str(s) for s in colnames]) if colnames is not None else RNull()]
+            pairs.append(("dimnames", dn))
+        self._flags(REALSXP, has_attr=True)
+        self.wi(mat.size)
+        self._out.write(np.asarray(mat, ">f8").tobytes(order="F"))
+        self.attrs(pairs)
+
+    def factor(self, values: List[str]) -> None:
+        levels = sorted(set(str(v) for v in values))
+        lut = {v: i + 1 for i, v in enumerate(levels)}
+        codes = np.asarray([lut[str(v)] for v in values], np.int32)
+        self.int_vec(codes, attr_pairs=[("levels", RString(levels)),
+                                        ("class", RString(["factor"]))],
+                     is_obj=True)
+
+    def data_frame(self, cols: Dict[str, Any], rownames: List[str]) -> None:
+        self.named_list(
+            dict(cols),
+            extra_attrs=[("class", RString(["data.frame"])),
+                         ("row.names", RString([str(r) for r in rownames]))],
+            is_obj=True)
+
+    def s4(self, class_name: str, package: str,
+           slots: List[Tuple[str, Any]]) -> None:
+        self._flags(S4SXP, has_attr=True, is_obj=True)
+        self.attrs(list(slots) + [
+            ("class", RString([class_name],
+                              attrs=[("package", RString([package]))]))])
+
+    # -- generic dispatch ------------------------------------------------------
+    def value(self, v: Any) -> None:
+        if isinstance(v, _Emit):
+            v.emit(self)
+        elif v is None or isinstance(v, RNull):
+            self.null()
+        elif isinstance(v, bool):
+            self.lgl_vec([v])
+        elif isinstance(v, (int, np.integer)):
+            self.int_vec([int(v)])
+        elif isinstance(v, (float, np.floating)):
+            self.real_vec([float(v)])
+        elif isinstance(v, str):
+            self.str_vec([v])
+        elif isinstance(v, np.ndarray):
+            if v.dtype.kind in "iu":
+                self.int_vec(v)
+            elif v.dtype.kind == "b":
+                self.lgl_vec(v)
+            else:
+                self.real_vec(v)
+        elif isinstance(v, dict):
+            self.named_list(v)
+        elif isinstance(v, (list, tuple)):
+            if all(isinstance(s, str) for s in v) and len(v) > 0:
+                self.str_vec(list(v))
+            else:
+                self.vec_list(list(v))
+        else:
+            raise TypeError(f"cannot serialize {type(v).__name__} to RDS")
+
+    def finish(self, path: str, compresslevel: int = 6) -> None:
+        with gzip.open(path, "wb", compresslevel=compresslevel) as f:
+            f.write(self._out.getvalue())
+
+
+class _Emit:
+    """Marker base for typed wrapper values understood by _RdsWriter.value."""
+
+    def emit(self, w: _RdsWriter) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@dataclass
+class RString(_Emit):
+    strs: List[str]
+    attrs: Optional[List] = None
+
+    def emit(self, w: _RdsWriter) -> None:
+        w.str_vec([str(s) for s in self.strs], attr_pairs=self.attrs)
+
+
+@dataclass
+class RInt(_Emit):
+    arr: Any
+
+    def emit(self, w: _RdsWriter) -> None:
+        w.int_vec(self.arr)
+
+
+@dataclass
+class RFactor(_Emit):
+    values: List[str]
+
+    def emit(self, w: _RdsWriter) -> None:
+        w.factor(self.values)
+
+
+@dataclass
+class RMatrix(_Emit):
+    mat: Any
+    rownames: Optional[List[str]] = None
+    colnames: Optional[List[str]] = None
+
+    def emit(self, w: _RdsWriter) -> None:
+        w.matrix(self.mat, self.rownames, self.colnames)
+
+
+@dataclass
+class RDataFrame(_Emit):
+    cols: Dict[str, Any]
+    rownames: List[str]
+
+    def emit(self, w: _RdsWriter) -> None:
+        w.data_frame(self.cols, self.rownames)
+
+
+@dataclass
+class RS4(_Emit):
+    class_name: str
+    package: str
+    slots: List[Tuple[str, Any]]
+
+    def emit(self, w: _RdsWriter) -> None:
+        w.s4(self.class_name, self.package, self.slots)
+
+
+def write_rds(path: str, value: Any, compresslevel: int = 6) -> None:
+    """Serialize ``value`` as a gzipped .rds readable by R's readRDS().
+
+    Accepts plain python values (scalars, strings, arrays, dicts as named
+    lists) and the typed wrappers (RMatrix, RDataFrame, RFactor, RS4...)."""
+    w = _RdsWriter()
+    w.header()
+    w.value(value)
+    w.finish(path, compresslevel=compresslevel)
+
+
+def save_rds_infercnv(obj, path: str, options: Optional[Dict[str, Any]] = None,
+                      compresslevel: int = 4) -> None:
+    """Write an infercnv object as the S4 ``infercnv`` RDS the reference
+    ecosystem consumes (slots per R/inferCNV.R:37-47; the reference's own
+    add_to_seurat reads ``run.final.infercnv_obj`` from out_dir this way,
+    seurat_interaction.R:23-50).
+
+    Matrices are written genes x cells (R orientation); cell indices are
+    1-based as in R.  The stored hclust trees are not serialized (our
+    heatmap engine derives trees from the expression matrix at plot time);
+    ``tumor_subclusters$hc`` is an empty list.
+    """
+    go = obj.gene_order
+    gene_names = [str(n) for n in go.names]
+    cell_names = [str(c) for c in obj.cell_names]
+    chrs = [str(go.chr_names[c]) for c in go.chr_ids]
+
+    def idx_list(groups: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        return {str(g): RInt(np.asarray(v, np.int64) + 1)
+                for g, v in groups.items()}
+
+    subclusters: Dict[str, Any] = {}
+    if obj.tumor_subclusters:
+        for g, subs in obj.tumor_subclusters["subclusters"].items():
+            subclusters[str(g)] = idx_list(subs)
+    tumor_subclusters = ({"subclusters": subclusters, "hc": {}}
+                         if subclusters else None)
+
+    counts = obj.counts if obj.counts.shape == obj.expr.shape else obj.expr
+    opts: Dict[str, Any] = dict(options or {})
+    slots: List[Tuple[str, Any]] = [
+        ("expr.data", RMatrix(np.asarray(obj.expr, np.float64).T,
+                              rownames=gene_names, colnames=cell_names)),
+        ("count.data", RMatrix(np.asarray(counts, np.float64).T,
+                               rownames=gene_names, colnames=cell_names)),
+        ("gene_order", RDataFrame(
+            {"chr": RFactor(chrs),
+             "start": RInt(np.asarray(go.start, np.int64)),
+             "stop": RInt(np.asarray(go.stop, np.int64))},
+            rownames=gene_names)),
+        ("reference_grouped_cell_indices", idx_list(obj.ref_groups)),
+        ("observation_grouped_cell_indices", idx_list(obj.obs_groups)),
+        ("tumor_subclusters", tumor_subclusters),
+        ("options", opts),
+        (".hspike", None),
+    ]
+    write_rds(path, RS4("infercnv", "infercnv", slots),
+              compresslevel=compresslevel)
+
+
+def read_rds_infercnv(path: str):
+    """Read an S4 ``infercnv`` RDS (ours or the reference's) back into an
+    :class:`~infercnv_tpu.core.object.InferCNV`."""
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+
+    top = read_rds(path)
+    if not isinstance(top, RObj):
+        raise ValueError(f"{path!r} does not contain an S4 object")
+    sl = s4_slots(top)
+    expr_t, gene_names, cell_names = r_matrix(sl["expr.data"])
+    try:
+        counts_t, _, _ = r_matrix(sl["count.data"])
+        if counts_t.shape != expr_t.shape:
+            counts_t = expr_t
+    except (KeyError, TypeError):
+        counts_t = expr_t
+    gof = r_data_frame(sl["gene_order"])
+    chr_strs = [str(c) for c in gof["chr"]]
+    chr_names: List[str] = []
+    for c in chr_strs:
+        if c not in chr_names:
+            chr_names.append(c)
+    chr_ids = np.asarray([chr_names.index(c) for c in chr_strs], np.int32)
+    go = GeneOrder(
+        names=tuple(gene_names or gof.get("__rownames__", [])),
+        chr_names=tuple(chr_names),
+        chr_ids=chr_ids,
+        start=np.asarray(gof["start"], np.int64),
+        stop=np.asarray(gof["stop"], np.int64),
+    )
+
+    def groups_of(slot) -> Dict[str, np.ndarray]:
+        if isinstance(slot, RNull) or slot is None:
+            return {}
+        return {str(g): np.asarray(strip(v), np.int64) - 1
+                for g, v in r_list(slot).items()}
+
+    out = InferCNV(
+        expr=np.asarray(expr_t, np.float32).T,
+        counts=np.asarray(counts_t, np.float32).T,
+        gene_order=go,
+        cell_names=list(cell_names),
+        ref_groups=groups_of(sl.get("reference_grouped_cell_indices")),
+        obs_groups=groups_of(sl.get("observation_grouped_cell_indices")),
+    )
+    ts = sl.get("tumor_subclusters")
+    if ts is not None and not isinstance(ts, RNull):
+        tl = r_list(ts)
+        subs_r = tl.get("subclusters")
+        if subs_r is not None and not isinstance(subs_r, RNull):
+            out.tumor_subclusters = {
+                "subclusters": {str(g): groups_of(v)
+                                for g, v in r_list(subs_r).items()},
+                "hc": {},
+            }
+    opt = sl.get("options")
+    if opt is not None and not isinstance(opt, RNull):
+        for k, v in r_list(opt).items():
+            vv = strip(v)
+            if isinstance(vv, np.ndarray) and vv.size == 1:
+                vv = vv.item()
+            elif isinstance(vv, list) and len(vv) == 1:
+                vv = vv[0]
+            out.options[str(k)] = vv
+    return out
+
+
 def r_dgc_matrix(obj: RObj) -> "Any":
     """dgCMatrix S4 -> scipy.sparse.csc_matrix."""
     import scipy.sparse as sp

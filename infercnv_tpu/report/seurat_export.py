@@ -152,10 +152,17 @@ def load_group_regions_from_out_dir(infercnv_output_path: str):
     from infercnv_tpu.runner.checkpoint import load_step
 
     final_path = os.path.join(infercnv_output_path, "run.final.infercnv_obj.npz")
-    if not os.path.exists(final_path):
+    rds_path = os.path.join(infercnv_output_path, "run.final.infercnv_obj")
+    if os.path.exists(final_path):
+        obj, _args, _states = load_step(final_path)
+    elif os.path.exists(rds_path):
+        # a reference-R run directory (or our RDS interop output)
+        from infercnv_tpu.io.rds import read_rds_infercnv
+
+        obj = read_rds_infercnv(rds_path)
+    else:
         raise FileNotFoundError(
-            f'Could not find "run.final.infercnv_obj.npz" at: {infercnv_output_path}')
-    obj, _args, _states = load_step(final_path)
+            f'Could not find "run.final.infercnv_obj[.npz]" at: {infercnv_output_path}')
 
     cand = sorted(glob.glob(os.path.join(
         infercnv_output_path, "HMM_CNV_predictions.*Pnorm_*.pred_cnv_regions.dat")))

@@ -810,6 +810,25 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     if cfg.save_final_rds and cfg.save_rds:
         ckpt.save_step(obj, os.path.join(cfg.out_dir, "run.final.infercnv_obj.npz"),
                        cum_args[22])
+        # also write the ACTUAL RDS the reference ecosystem consumes
+        # (add_to_seurat reads run.final.infercnv_obj from out_dir,
+        # seurat_interaction.R:23-50)
+        if obj.num_cells * obj.num_genes <= 500_000_000:
+            from infercnv_tpu.io.rds import save_rds_infercnv
+
+            try:
+                save_rds_infercnv(
+                    obj, os.path.join(cfg.out_dir, "run.final.infercnv_obj"),
+                    options={"analysis_mode": cfg.analysis_mode,
+                             "HMM_report_by": cfg.HMM_report_by,
+                             "HMM_type": cfg.HMM_type if cfg.HMM else "",
+                             "BayesMaxPNormal": cfg.BayesMaxPNormal})
+            except Exception as e:  # interop write must never kill a run
+                log_warn(f"run.final.infercnv_obj RDS write failed: {e}")
+        else:
+            log_warn("skipping run.final.infercnv_obj RDS (matrix > 5e8 "
+                     "elements; the gzipped float64 R image would be tens "
+                     "of GB — use the .npz checkpoint instead)")
     if not cfg.no_plot:
         try:
             from infercnv_tpu.viz.heatmap import plot_cnv

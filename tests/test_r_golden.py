@@ -258,3 +258,105 @@ def test_10x_h5_counts_ingestion(tmp_path):
     np.testing.assert_array_equal(mat, x_gc)
     assert gn == [f"g{i}" for i in range(G)]
     assert cn == [f"b{i}" for i in range(C)]
+
+
+def test_save_rds_infercnv_roundtrip(tmp_path):
+    """S4 infercnv writer (io/rds.py:save_rds_infercnv) round-trips through
+    our own RDS reader, with slot structure matching the reference class
+    definition (R/inferCNV.R:37-47) and the golden object's layout."""
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.io.rds import (
+        read_rds,
+        read_rds_infercnv,
+        s4_slots,
+        save_rds_infercnv,
+    )
+
+    rng = np.random.default_rng(0)
+    G, C = 30, 14
+    go = GeneOrder(
+        names=tuple(f"gene{i}" for i in range(G)),
+        chr_names=("chr1", "chr2", "chr3"),
+        chr_ids=np.array([0] * 10 + [1] * 10 + [2] * 10, np.int32),
+        start=np.arange(1, G + 1) * 1000,
+        stop=np.arange(1, G + 1) * 1000 + 500,
+    )
+    expr = rng.normal(1, 0.2, (C, G)).astype(np.float32)
+    obj = InferCNV(
+        expr=expr, counts=(expr * 10).astype(np.float32), gene_order=go,
+        cell_names=[f"cell_{i}" for i in range(C)],
+        ref_groups={"normal": np.arange(0, 5)},
+        obs_groups={"tumorA": np.arange(5, 10), "tumorB": np.arange(10, C)},
+    )
+    obj.tumor_subclusters = {
+        "subclusters": {"tumorA": {"tumorA_s1": np.arange(5, 8),
+                                   "tumorA_s2": np.arange(8, 10)}},
+        "hc": {},
+    }
+    p = str(tmp_path / "run.final.infercnv_obj")
+    save_rds_infercnv(obj, p, options={"analysis_mode": "subclusters",
+                                       "HMM_report_by": "subcluster"})
+
+    # 1) raw structural check: S4 with the reference's slot names
+    raw = read_rds(p)
+    slots = s4_slots(raw)
+    expected = {"expr.data", "count.data", "gene_order",
+                "reference_grouped_cell_indices",
+                "observation_grouped_cell_indices",
+                "tumor_subclusters", "options", ".hspike"}
+    assert expected.issubset(set(slots.keys())), sorted(slots)
+    assert raw.rclass == ["infercnv"]
+
+    # 2) full round-trip through the typed reader
+    back = read_rds_infercnv(p)
+    np.testing.assert_allclose(back.expr, obj.expr, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(back.counts, obj.counts, rtol=0, atol=1e-6)
+    assert back.cell_names == obj.cell_names
+    assert tuple(back.gene_order.names) == go.names
+    assert tuple(back.gene_order.chr_names) == go.chr_names
+    np.testing.assert_array_equal(back.gene_order.start, go.start)
+    for g in obj.ref_groups:
+        np.testing.assert_array_equal(back.ref_groups[g], obj.ref_groups[g])
+    for g in obj.obs_groups:
+        np.testing.assert_array_equal(back.obs_groups[g], obj.obs_groups[g])
+    subs = back.tumor_subclusters["subclusters"]["tumorA"]
+    np.testing.assert_array_equal(subs["tumorA_s1"], np.arange(5, 8))
+    assert back.options["analysis_mode"] == "subclusters"
+    back.validate()
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference golden data not available")
+def test_written_rds_slot_layout_matches_reference_golden(tmp_path):
+    """Our written S4 layout matches the golden infercnv object's: same slot
+    set, same gene_order data.frame columns, 1-based index lists."""
+    from infercnv_tpu.io.rds import (
+        r_data_frame,
+        r_list,
+        read_rda,
+        read_rds,
+        s4_slots,
+        save_rds_infercnv,
+        strip,
+    )
+
+    golden = read_rda(os.path.join(DATA, "infercnv_object_example.rda"))
+    gobj = golden["infercnv_object_example"]
+    gslots = s4_slots(gobj)
+
+    obj = load_r_golden_example()
+    p = str(tmp_path / "ours.infercnv_obj")
+    save_rds_infercnv(obj, p)
+    ours = s4_slots(read_rds(p))
+
+    assert set(gslots.keys()) == set(ours.keys()), (
+        sorted(gslots), sorted(ours))
+    gdf = r_data_frame(gslots["gene_order"])
+    odf = r_data_frame(ours["gene_order"])
+    assert [k for k in gdf if k != "__rownames__"] == \
+           [k for k in odf if k != "__rownames__"]
+    # both sides store 1-based cell indices
+    gref = r_list(gslots["reference_grouped_cell_indices"])
+    oref = r_list(ours["reference_grouped_cell_indices"])
+    assert min(int(np.asarray(strip(v)).min()) for v in gref.values()) >= 1
+    assert min(int(np.asarray(strip(v)).min()) for v in oref.values()) >= 1
