@@ -134,6 +134,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contig_lab_size", type=int, default=6)
     p.add_argument("--color_safe", action="store_true")
     p.add_argument("--dynamic_resize", type=float, default=0)
+    p.add_argument("--custom_color_pal", default=None,
+                   help="comma-separated low,mid,high colors for the heatmap "
+                        "ramp (reference plot_cnv custom_color_pal)")
+    p.add_argument("--ref_contig", default=None,
+                   help="cluster heatmap rows on this contig's genes only "
+                        "(reference plot_cnv ref_contig; comma-separated "
+                        "for several)")
+    p.add_argument("--plot_hclust_method", default="ward.D",
+                   choices=sorted({"ward.D", "ward.D2", "complete", "average",
+                                   "single", "centroid", "median", "mcquitty"}),
+                   help="linkage method for heatmap row ordering "
+                        "(reference plot_cnv hclust_method)")
 
     # NGCHM interactive heatmaps are an R/Java ecosystem feature; accepted
     # for flag parity but not implemented here
@@ -258,6 +270,10 @@ def main(argv=None) -> int:
         title_ref=args.title_ref,
         contig_lab_size=args.contig_lab_size,
         color_safe=args.color_safe,
+        custom_color_pal=(args.custom_color_pal.split(",")
+                          if args.custom_color_pal else None),
+        ref_contig=(args.ref_contig.split(",") if args.ref_contig else None),
+        plot_hclust_method=args.plot_hclust_method,
         dynamic_resize=args.dynamic_resize,
     )
 

@@ -328,7 +328,8 @@ def remove_cells_filter(
     threshold get the region reset to neutral for *those cells only*; the
     sampler re-runs recursively until no such cells remain."""
     neutral = hmm_mod.NEUTRAL_STATE_I6 if hmm_type == "i6" else hmm_mod.NEUTRAL_STATE_I3
-    states = np.array(hmm_states)
+    states = (hmm_states.materialize() if hasattr(hmm_states, "materialize")
+              else np.array(hmm_states))
     result = BayesResult()
     for round_i in range(max_rounds):
         result, regions = run_bayesian_mixture(
@@ -369,7 +370,10 @@ def bayesian_filter_states(
                                    hspike, report_by=report_by, seed=seed)
     result, regions = run_bayesian_mixture(
         obj, hmm_states, hmm_type, hspike, report_by=report_by, seed=seed)
-    states = np.array(hmm_states)
+    # region descriptors come from the factorized form when given; the
+    # per-region rewrites below need the expanded matrix
+    states = (hmm_states.materialize() if hasattr(hmm_states, "materialize")
+              else np.array(hmm_states))
     if not regions:
         return states, result
 

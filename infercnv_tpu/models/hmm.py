@@ -412,13 +412,36 @@ def _group_mean_rows(expr_cg: np.ndarray, groups: Dict[str, np.ndarray]) -> Tupl
     return rows, names, idxs
 
 
+@dataclasses.dataclass
+class GroupedStates:
+    """Factorized HMM state calls: one state row per group plus a cell->row
+    map.  Group-mode Viterbi calls are constant across a group's cells, so
+    the [C, G] matrix is pure redundancy — at 100k cells materializing it
+    costs seconds of pure memory writes, and the heatmap renderer / region
+    reports can consume the factorized form directly."""
+
+    rows: np.ndarray          # [K, G] int8, 1-based states
+    cell_to_row: np.ndarray   # [C] int32
+    names: List[str]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.cell_to_row.shape[0], self.rows.shape[1])
+
+    def materialize(self) -> np.ndarray:
+        """Expand to the classic [C, G] matrix (one gather)."""
+        return self.rows[self.cell_to_row]
+
+
 def predict_hmm_on_cells(obj: InferCNV, params: HMMParams,
                          mesh=None) -> np.ndarray:
     """Per-cell i6/i3 state matrix [C, G]
     (reference predict_CNV_via_HMM_on_indiv_cells :284-324).  With a mesh,
     cells shard over it (independent sequences, no collectives)."""
     log_info("predict_hmm_on_cells()")
-    return viterbi_per_group(obj.expr, obj.gene_order, params, mesh=mesh)
+    return np.asarray(
+        viterbi_per_group(obj.expr, obj.gene_order, params, mesh=mesh),
+        np.int8)
 
 
 def predict_hmm_on_groups(
@@ -428,11 +451,15 @@ def predict_hmm_on_groups(
     trend_fits: Optional[Dict[str, Tuple[float, float]]] = None,
     levels: Sequence[str] = I6_LEVELS,
     mesh=None,
-) -> np.ndarray:
+    factorized: bool = False,
+):
     """Viterbi on per-group mean expression, states written back to every
     member cell (reference predict_CNV_via_HMM_on_tumor_subclusters :345-408
     / ..._whole_tumor_samples :509-567).  With trend_fits, per-group state
-    sds follow the cell-count trend (.get_state_emission_params)."""
+    sds follow the cell-count trend (.get_state_emission_params).
+
+    factorized=True returns the :class:`GroupedStates` form instead of the
+    expanded [C, G] matrix."""
     log_info(f"predict_hmm_on_groups() over {len(groups)} groups")
     rows, names, idxs = _group_mean_rows(obj.expr, groups)
     if trend_fits is not None:
@@ -441,12 +468,20 @@ def predict_hmm_on_groups(
         ])
     else:
         group_sds = None
-    states_rows = viterbi_per_group(rows, obj.gene_order, params, group_sds,
-                                    mesh=mesh)
-    out = np.full(obj.expr.shape, (params.num_states - 1) // 2 + 1, np.int32)
+    states_rows = np.asarray(
+        viterbi_per_group(rows, obj.gene_order, params, group_sds, mesh=mesh),
+        np.int8)
+    neutral = (params.num_states - 1) // 2 + 1
+    # cells outside every group (none in practice) keep the neutral row
+    K = states_rows.shape[0]
+    cell_to_row = np.full(obj.num_cells, K, np.int32)
     for r, ix in enumerate(idxs):
-        out[ix] = states_rows[r]
-    return out
+        cell_to_row[ix] = r
+    if (cell_to_row == K).any():
+        states_rows = np.concatenate(
+            [states_rows, np.full((1, states_rows.shape[1]), neutral, np.int8)])
+    gs = GroupedStates(rows=states_rows, cell_to_row=cell_to_row, names=names)
+    return gs if factorized else gs.materialize()
 
 
 def predict_hmm_on_subclusters_per_chr(
@@ -464,7 +499,7 @@ def predict_hmm_on_subclusters_per_chr(
 
     log_info("predict_hmm_on_subclusters_per_chr()")
     S = params.num_states
-    out = np.full(obj.expr.shape, (S - 1) // 2 + 1, np.int32)
+    out = np.full(obj.expr.shape, (S - 1) // 2 + 1, np.int8)
     for ci, cname in enumerate(obj.gene_order.chr_names):
         if cname not in subclusters_per_chr:
             continue
@@ -501,9 +536,17 @@ def predict_hmm_on_subclusters_per_chr(
     return out
 
 
+def proxy_value_lut(num_states: int = 6) -> np.ndarray:
+    """LUT indexed by the 1-based state value itself (lut[state] -> proxy
+    level; lut[0] unused) — lets renderers map small state blocks to proxy
+    values without materializing the [C, G] float matrix."""
+    table = I6_PROXY_VALUES if num_states == 6 else I3_PROXY_VALUES
+    return np.concatenate([[np.nan], table]).astype(np.float32)
+
+
 def assign_states_to_proxy_values(states: np.ndarray, num_states: int = 6) -> np.ndarray:
     """State index (1-based) -> CNV proxy level
     (reference assign_HMM_states_to_proxy_expr_vals :1191-1206 i6,
     i3HMM.R:405-417 i3)."""
     table = I6_PROXY_VALUES if num_states == 6 else I3_PROXY_VALUES
-    return table[np.asarray(states, np.int64) - 1].astype(np.float32)
+    return table[np.asarray(states) - 1].astype(np.float32)

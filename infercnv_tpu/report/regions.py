@@ -41,15 +41,19 @@ class GroupRegions:
     regions: List[CnvRegion]
 
 
-def state_consensus(states_cg: np.ndarray) -> np.ndarray:
+def state_consensus(states_cg: np.ndarray,
+                    weights: Optional[np.ndarray] = None) -> np.ndarray:
     """Majority-vote state per gene across cells; ties -> smallest state
     (reference .get_state_consensus :977-987 — R table() ordering gives the
-    numerically smallest label on ties).  states_cg: [C, G] 1-based."""
-    states = np.asarray(states_cg, np.int64)
+    numerically smallest label on ties).  states_cg: [C, G] 1-based.
+    weights: optional per-row multiplicities (factorized group states)."""
+    states = np.asarray(states_cg)  # int8 at scale; never widen the matrix
     S = int(states.max()) if states.size else 1
     counts = np.zeros((S, states.shape[1]), np.int64)
     for s in range(1, S + 1):
-        counts[s - 1] = (states == s).sum(axis=0)
+        eq = states == s
+        counts[s - 1] = (weights[:, None] * eq).sum(axis=0) if weights is not None \
+            else eq.sum(axis=0)
     return counts.argmax(axis=0) + 1
 
 
@@ -109,10 +113,19 @@ def get_predicted_cnv_regions(obj: InferCNV, states_cg: np.ndarray,
     else:
         raise ValueError(f"unknown region reporting mode: {by}")
 
+    factorized = hasattr(states_cg, "cell_to_row")  # models.hmm.GroupedStates
     out: List[GroupRegions] = []
     counter = 0
     for name, idx in cell_groups.items():
-        consensus = state_consensus(states_cg[idx])
+        if factorized:
+            # group-mode calls are constant per group: vote over the few
+            # DISTINCT state rows weighted by their multiplicity instead of
+            # expanding [C, G]
+            ids = states_cg.cell_to_row[idx]
+            uniq, cnt = np.unique(ids, return_counts=True)
+            consensus = state_consensus(states_cg.rows[uniq], weights=cnt)
+        else:
+            consensus = state_consensus(states_cg[idx])
         regions, counter = define_cnv_gene_regions(consensus, obj.gene_order, counter)
         out.append(GroupRegions(
             group_name=name,

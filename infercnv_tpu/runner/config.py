@@ -122,6 +122,14 @@ class RunConfig:
     contig_lab_size: int = 6
     color_safe: bool = False
     dynamic_resize: float = 0.0
+    #: reference plot_cnv(custom_color_pal): 3 colors for the heatmap ramp
+    custom_color_pal: Optional[Sequence[str]] = None
+    #: reference plot_cnv(ref_contig): cluster rows on these contigs only
+    ref_contig: Optional[Union[str, Sequence[str]]] = None
+    #: reference plot_cnv(hclust_method) for pane row ordering (the step-15
+    #: subclustering hclust_method above is a separate knob, as in the
+    #: reference)
+    plot_hclust_method: str = "ward.D"
     useRaster: bool = True
 
     up_to_step: int = 100

@@ -30,17 +30,57 @@ from infercnv_tpu.utils.profiling import StepTimer
 
 
 class RunResult:
-    """Outputs of run(): the final denoised object, plus HMM products."""
+    """Outputs of run(): the final denoised object, plus HMM products.
+
+    ``hmm_states`` / ``hmm_proxy_values`` are materialized LAZILY: subcluster
+    -mode runs keep the factorized per-group state rows internally
+    (models.hmm.GroupedStates), and the [C, G] matrices are only expanded on
+    first attribute access — at 100k cells each expansion is ~1-3.5 GB of
+    pure memory writes the pipeline itself never needs."""
 
     def __init__(self):
         self.infercnv_obj: Optional[InferCNV] = None
-        self.hmm_states: Optional[np.ndarray] = None          # [C, G] 1-based
-        self.hmm_proxy_values: Optional[np.ndarray] = None    # [C, G] CNV levels
+        self._hmm_states = None           # ndarray [C, G] or GroupedStates
+        self._proxy_num_states: Optional[int] = None
+        self._hmm_proxy_values: Optional[np.ndarray] = None
         self.hmm_gene_order = None
         self.subclusters_per_chr = None
         self.bayes_result = None
         self.region_reports = None
         self.timer = None
+
+    @property
+    def hmm_states(self) -> Optional[np.ndarray]:
+        """[C, G] 1-based state matrix (int8)."""
+        if self._hmm_states is not None and hasattr(self._hmm_states, "materialize"):
+            self._hmm_states = self._hmm_states.materialize()
+        return self._hmm_states
+
+    @hmm_states.setter
+    def hmm_states(self, value) -> None:
+        self._hmm_states = value
+
+    @property
+    def hmm_proxy_values(self) -> Optional[np.ndarray]:
+        """[C, G] CNV proxy levels (float32)."""
+        if self._hmm_proxy_values is None and self._hmm_states is not None \
+                and self._proxy_num_states:
+            from infercnv_tpu.models.hmm import assign_states_to_proxy_values
+
+            self._hmm_proxy_values = assign_states_to_proxy_values(
+                self.hmm_states, self._proxy_num_states)
+        return self._hmm_proxy_values
+
+    @hmm_proxy_values.setter
+    def hmm_proxy_values(self, value) -> None:
+        self._hmm_proxy_values = value
+
+
+def _states_matrix(states) -> Optional[np.ndarray]:
+    """Expand factorized GroupedStates to [C, G] (no-op on a matrix)."""
+    if states is not None and hasattr(states, "materialize"):
+        return states.materialize()
+    return states
 
 
 def _mirrored(obj: InferCNV, fn, *args, **kwargs) -> None:
@@ -256,15 +296,36 @@ def _clear_noise(obj: InferCNV, cfg: RunConfig) -> None:
             obj.expr = np.asarray(T.clear_noise_via_ref_mean_sd(obj.expr, ref_idx, cfg.sd_amplifier))
 
 
-def _plot_states(obj: InferCNV, values: np.ndarray, cfg: RunConfig,
+def _plot_states(obj: InferCNV, values, cfg: RunConfig,
                  output_filename: str, title: str, x_center: float,
-                 x_range, row_order_cache=None) -> None:
+                 x_range, row_order_cache=None, value_lut=None) -> None:
     """Render a state/proxy-value matrix with the standard heatmap layout
-    (reference plots at steps 17 and 20, inferCNV_ops.R:1330-1351, 1483-1500)."""
+    (reference plots at steps 17 and 20, inferCNV_ops.R:1330-1351, 1483-1500).
+
+    values: a [C, G] matrix OR a models.hmm.GroupedStates (factorized) —
+    factorized renders in O(K*G) without ever expanding [C, G].  value_lut:
+    state value -> display value (proxy levels); integer matrices without a
+    lut display the states themselves (identity lut, so the int8 matrix is
+    never widened to float)."""
     from infercnv_tpu.viz.heatmap import plot_cnv as _plot_cnv
 
+    kw = {}
+    if hasattr(values, "cell_to_row"):  # GroupedStates
+        rows = (np.asarray(value_lut, np.float32)[values.rows]
+                if value_lut is not None else values.rows.astype(np.float32))
+        kw["row_values"] = (rows, values.cell_to_row)
+        view_expr = obj.expr  # only consulted on a row-order cache miss
+    else:
+        view_expr = np.asarray(values)
+        if value_lut is not None:
+            kw["value_lut"] = value_lut
+        elif view_expr.dtype.kind in "iu":
+            kw["value_lut"] = np.arange(int(view_expr.max()) + 1,
+                                        dtype=np.float32)
+        else:
+            view_expr = view_expr.astype(np.float32, copy=False)
     view = InferCNV(
-        expr=np.asarray(values, np.float32), counts=obj.counts,
+        expr=view_expr, counts=obj.counts,
         gene_order=obj.gene_order, cell_names=list(obj.cell_names),
         ref_groups=obj.ref_groups, obs_groups=obj.obs_groups,
         tumor_subclusters=obj.tumor_subclusters,
@@ -279,7 +340,7 @@ def _plot_states(obj: InferCNV, values: np.ndarray, cfg: RunConfig,
                   row_order_cache=row_order_cache,
                   png_res=cfg.png_res,
                   max_pane_rows=2000 if cfg.useRaster else 10**9,
-                  output_format=cfg.output_format)
+                  output_format=cfg.output_format, **kw)
     except Exception as e:  # plotting must never kill an analysis run
         log_warn(f"state plot failed: {e}")
 
@@ -296,7 +357,9 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     os.makedirs(cfg.out_dir, exist_ok=True)
 
     result = RunResult()
-    obj = obj.copy()
+    # shallow: every pipeline step REBINDS obj.expr (never writes in place),
+    # so sharing the caller's matrix is safe and skips a multi-GB copy
+    obj = obj.shallow_copy()
     timer = StepTimer(cfg.out_dir)
     result.timer = timer
     # one pane ordering shared by the preliminary / state / final heatmaps
@@ -386,18 +449,19 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     # the full-matrix copies (copies dominate this step at 100k cells).
     if skip_past < 2:
         log_info("STEP 02: Removing lowly expressed genes")
-        drop1 = T.below_min_mean_expr_cutoff(obj.expr, cfg.cutoff)
-        if drop1.size:
-            log_info(f"Removing {drop1.size} genes below mean expr threshold {cfg.cutoff}")
-        drop2 = T.genes_below_min_cells_ref(obj.expr, cfg.min_cells_per_gene)
-        drop2 = np.setdiff1d(drop2, drop1)
-        if drop1.size + drop2.size == obj.num_genes:
-            raise RuntimeError("All genes removed! Must revisit your data, cannot continue")
-        if drop2.size:
-            log_info(f"Removed {drop2.size} genes with fewer than {cfg.min_cells_per_gene} cells expressing")
-        drop = np.union1d(drop1, drop2)
-        if drop.size:
-            obj.remove_genes(drop)
+        with timer.step("02_gene_filter"):
+            drop1 = T.below_min_mean_expr_cutoff(obj.expr, cfg.cutoff)
+            if drop1.size:
+                log_info(f"Removing {drop1.size} genes below mean expr threshold {cfg.cutoff}")
+            drop2 = T.genes_below_min_cells_ref(obj.expr, cfg.min_cells_per_gene)
+            drop2 = np.setdiff1d(drop2, drop1)
+            if drop1.size + drop2.size == obj.num_genes:
+                raise RuntimeError("All genes removed! Must revisit your data, cannot continue")
+            if drop2.size:
+                log_info(f"Removed {drop2.size} genes with fewer than {cfg.min_cells_per_gene} cells expressing")
+            drop = np.union1d(drop1, drop2)
+            if drop.size:
+                obj.remove_genes(drop)
         save(2)
     if done(2):
         result.infercnv_obj = obj
@@ -671,8 +735,12 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 if not groups:
                     log_warn("No subclusters defined, running on whole samples")
                     groups = {**obj.obs_groups, **obj.ref_groups}
+                # states stay FACTORIZED (per-group rows + cell->row map):
+                # region reports, the state heatmap, and the Bayes region
+                # builder all consume that form without the [C, G] expansion
                 hmm_states = hmm_mod.predict_hmm_on_groups(
-                    obj, params, groups, trend_fits, mesh=mesh17)
+                    obj, params, groups, trend_fits, mesh=mesh17,
+                    factorized=True)
         elif cfg.analysis_mode == "cells":
             hmm_states = hmm_mod.predict_hmm_on_cells(obj, params, mesh=mesh17)
         else:  # samples
@@ -681,7 +749,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             else:
                 groups = {"all_observations": obj.all_obs_idx(), **obj.ref_groups}
             hmm_states = hmm_mod.predict_hmm_on_groups(
-                obj, params, groups, trend_fits, mesh=mesh17)
+                obj, params, groups, trend_fits, mesh=mesh17, factorized=True)
 
         result.region_reports = generate_cnv_region_reports(
             obj, hmm_states,
@@ -691,16 +759,20 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             by=cfg.HMM_report_by,
         )
         timer_hmm.__exit__(None, None, None)
-        save(17, states=hmm_states)
+        if cfg.save_rds and skip_past < 17:
+            save(17, states=_states_matrix(hmm_states))
         result.hmm_states = hmm_states
         result.hmm_gene_order = obj.gene_order
         if not cfg.no_plot:
-            _plot_states(obj, hmm_states.astype(np.float32), cfg,
+            timer_p17 = timer.step("17_state_plot")
+            timer_p17.__enter__()
+            _plot_states(obj, hmm_states, cfg,
                          output_filename=f"infercnv.17_HMM_pred{hmm_resume_token}",
                          title="17_HMM_preds",
                          x_center=float(neutral),
                          x_range=(0.0, 6.0) if cfg.HMM_type == "i6" else (1.0, 3.0),
                          row_order_cache=row_order_cache)
+            timer_p17.__exit__(None, None, None)
     if done(17):
         result.infercnv_obj = obj
         return result
@@ -709,7 +781,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     if cfg.HMM and resume_step >= 19 and hmm_states is not None:
         log_info("STEPS 18-19: resuming post-Bayes filtered states from checkpoint")
     elif (cfg.HMM and cfg.BayesMaxPNormal > 0 and hmm_states is not None
-            and len(np.unique(hmm_states)) > 1):
+            and len(np.unique(getattr(hmm_states, "rows", hmm_states))) > 1):
         log_info("STEP 18: Run Bayesian Network Model on HMM predicted CNVs")
         from infercnv_tpu.models.bayes import bayesian_filter_states
 
@@ -764,19 +836,24 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         result.infercnv_obj = obj
         return result
 
-    # STEP 20: states -> proxy expression values
+    # STEP 20: states -> proxy expression values (lazy: RunResult expands
+    # the [C, G] float matrix only if the caller reads hmm_proxy_values)
     if cfg.HMM and hmm_states is not None:
         log_info("STEP 20: Converting HMM-based CNV states to repr expr vals")
-        result.hmm_proxy_values = hmm_mod.assign_states_to_proxy_values(
-            hmm_states, 6 if cfg.HMM_type == "i6" else 3)
+        num_states = 6 if cfg.HMM_type == "i6" else 3
+        result._proxy_num_states = num_states
         if not cfg.no_plot:
-            _plot_states(obj, result.hmm_proxy_values, cfg,
+            timer_p20 = timer.step("20_proxy_plot")
+            timer_p20.__enter__()
+            _plot_states(obj, hmm_states, cfg,
                          output_filename=(
                              f"infercnv.20_HMM_pred{hmm_resume_token}"
                              f".Pnorm_{cfg.BayesMaxPNormal:g}.repr_intensities"),
                          title="20_HMM_preds.repr_intensities",
                          x_center=1.0, x_range=(-1.0, 3.0),
-                         row_order_cache=row_order_cache)
+                         row_order_cache=row_order_cache,
+                         value_lut=hmm_mod.proxy_value_lut(num_states))
+            timer_p20.__exit__(None, None, None)
     if done(20):
         result.infercnv_obj = obj
         return result
@@ -800,7 +877,8 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     # STEP 22: denoising
     if cfg.denoise and skip_past < 22:
         log_info("STEP 22: Denoising")
-        _clear_noise(obj, cfg)
+        with timer.step("22_denoise"):
+            _clear_noise(obj, cfg)
         save(22)
     if done(22):
         result.infercnv_obj = obj
@@ -841,6 +919,9 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      ref_title=cfg.title_ref,
                      contig_lab_size=cfg.contig_lab_size,
                      color_safe_pal=cfg.color_safe,
+                     custom_color_pal=cfg.custom_color_pal,
+                     ref_contig=cfg.ref_contig,
+                     hclust_method=cfg.plot_hclust_method,
                      dynamic_resize=cfg.dynamic_resize,
                      k_obs_groups=cfg.k_obs_groups,
                      cluster_by_groups=cfg.cluster_by_groups,

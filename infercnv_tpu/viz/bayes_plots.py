@@ -104,11 +104,24 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
         for ri, cp in enumerate(cps):
             ax = axes[ri // ncol][ri % ncol]
             S, C = cp.shape
-            bottom = np.zeros(C)
-            for s in range(S):
-                ax.bar(np.arange(C), cp[s], bottom=bottom, width=1.0,
-                       color=cmap(s / max(S - 1, 1)))
-                bottom += cp[s]
+            if C > 2000:
+                # a stacked area is visually identical to 2000+ adjacent
+                # bars and renders ~100x faster (one path per state
+                # instead of C rectangles)
+                cum = np.cumsum(cp, axis=0)
+                xs = np.arange(C)
+                prev = np.zeros(C)
+                for s in range(S):
+                    ax.fill_between(xs, prev, cum[s], step="mid",
+                                    color=cmap(s / max(S - 1, 1)), lw=0)
+                    prev = cum[s]
+                ax.set_xlim(0, C - 1)
+            else:
+                bottom = np.zeros(C)
+                for s in range(S):
+                    ax.bar(np.arange(C), cp[s], bottom=bottom, width=1.0,
+                           color=cmap(s / max(S - 1, 1)))
+                    bottom += cp[s]
             ax.set_title(nms[ri], fontsize=6)
             ax.set_xticks([])
         for k in range(n, nrow * ncol):
@@ -133,19 +146,25 @@ def post_prob_normal_heatmap(obj: InferCNV, result: BayesResult,
     plt = _mpl()
     S = result.cnv_state_probabilities.shape[0]
     neutral = 3 if S == 6 else 2
-    mat = np.zeros(obj.expr.shape, np.float32)
+    C, G = obj.expr.shape
+    # paint straight into the DISPLAY raster: each region adds its
+    # probability to the display bins its cells fall into, weighted by how
+    # many of the bin's cells it covers — the exact mean-downsample of the
+    # full [C, G] painting without ever allocating it (3.5 GB at 100k cells)
+    n_bins = min(C, 4000)
+    bin_of = (np.arange(C, dtype=np.int64) * n_bins) // C
+    bin_count = np.bincount(bin_of, minlength=n_bins).astype(np.float32)
+    mat = np.zeros((n_bins, G), np.float32)
     name_to_ri = {n: i for i, n in enumerate(result.cnv_region_names)}
     for r in regions:
         ri = name_to_ri.get(r["name"])
         if ri is None:
             continue
         p_not_normal = 1.0 - result.cnv_state_probabilities[neutral - 1, ri]
-        mat[np.ix_(r["cell_idx"], r["gene_idx"])] = p_not_normal
-    if mat.shape[0] > 4000:  # raster-aggregate rows for huge panes
-        from infercnv_tpu.viz.heatmap import _downsample_rows
-
-        mat, _sizes, _down = _downsample_rows(
-            mat, [("cells", mat.shape[0])], 4000)
+        cnt = np.bincount(bin_of[r["cell_idx"]], minlength=n_bins)
+        touched = np.nonzero(cnt)[0]
+        mat[np.ix_(touched, r["gene_idx"])] += (
+            p_not_normal * cnt[touched] / bin_count[touched])[:, None]
     fig, ax = plt.subplots(figsize=(10, 5))
     im = ax.imshow(mat, aspect="auto", cmap="viridis", vmin=0, vmax=1,
                    interpolation="nearest")

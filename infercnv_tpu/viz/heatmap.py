@@ -82,13 +82,30 @@ def _pc1_order(x_cg: np.ndarray, iters: int = 12, seed: int = 0) -> np.ndarray:
     return np.argsort(x @ v, kind="stable")
 
 
+#: R hclust method names -> scipy linkage methods (reference accepts the R
+#: set via plot_cnv(hclust_method=...), inferCNV_heatmap.R:103,117-118)
+R_TO_SCIPY_LINKAGE = {
+    "ward.D": "ward", "ward.D2": "ward", "ward": "ward",
+    "complete": "complete", "average": "average", "single": "single",
+    "centroid": "centroid", "median": "median", "mcquitty": "weighted",
+    "weighted": "weighted",
+}
+
+
 def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
-                      cluster: bool, order_cache: Optional[dict] = None):
+                      cluster: bool, order_cache: Optional[dict] = None,
+                      hclust_method: str = "ward.D",
+                      gene_sel: Optional[np.ndarray] = None,
+                      ignore_subclusters: bool = False):
     """Row ordering within one group plus the dendrogram that produced it:
     stored subcluster structure first (largest subcluster leading, as the
     reference's stitched dendrograms, subclusters joined at raised roots),
-    each ordered by ward-linkage leaf order (PC1 order above
-    ORDER_LINKAGE_MAX cells); else fresh hclust.
+    each ordered by hclust leaf order (PC1 order above ORDER_LINKAGE_MAX
+    cells); else fresh hclust with the requested linkage method.
+
+    gene_sel / ignore_subclusters implement the reference's ref_contig:
+    cluster on the named contig's genes only, bypassing stored subclusters
+    (inferCNV_heatmap.R:553-573).
 
     order_cache: optional dict shared across the pipeline's plots — the
     reference orders every pane (preliminary, HMM states, proxy values,
@@ -99,24 +116,36 @@ def _group_cell_order(obj: InferCNV, group: str, idx: np.ndarray,
     Returns (order_indices, merged_linkage_or_None)."""
     if idx.size <= 2 or not cluster:
         return idx, None
-    if order_cache is not None and group in order_cache:
-        o, Z = order_cache[group]
+    key = (group, hclust_method,
+           None if gene_sel is None else gene_sel.tobytes())
+    if order_cache is not None and key in order_cache:
+        o, Z = order_cache[key]
         if o.size == idx.size:
             return o, Z
-    o, Z = _group_cell_order_impl(obj, group, idx)
+    o, Z = _group_cell_order_impl(obj, group, idx,
+                                  R_TO_SCIPY_LINKAGE.get(hclust_method, "ward"),
+                                  gene_sel, ignore_subclusters)
     if order_cache is not None:
-        order_cache[group] = (o, Z)
+        order_cache[key] = (o, Z)
     return o, Z
 
 
-def _group_cell_order_impl(obj: InferCNV, group: str, idx: np.ndarray):
+def _group_cell_order_impl(obj: InferCNV, group: str, idx: np.ndarray,
+                           method: str = "ward",
+                           gene_sel: Optional[np.ndarray] = None,
+                           ignore_subclusters: bool = False):
     from scipy.cluster import hierarchy
 
     from infercnv_tpu.subcluster.distance import condensed_dists
     from infercnv_tpu.viz.dendro import merge_linkages
 
+    def rows(sel):
+        x = obj.expr[sel]
+        return x if gene_sel is None else x[:, gene_sel]
+
     subs = None
-    if obj.tumor_subclusters and group in obj.tumor_subclusters["subclusters"]:
+    if (not ignore_subclusters and obj.tumor_subclusters
+            and group in obj.tumor_subclusters["subclusters"]):
         subs = obj.tumor_subclusters["subclusters"][group]
     if subs and len(subs) > 1:
         block_idx = []
@@ -124,10 +153,10 @@ def _group_cell_order_impl(obj: InferCNV, group: str, idx: np.ndarray):
         for _name, sidx in sorted(subs.items(), key=lambda kv: -len(kv[1])):
             sidx = np.asarray(sidx)
             if sidx.size > ORDER_LINKAGE_MAX:
-                block_idx.append(sidx[_pc1_order(obj.expr[sidx])])
+                block_idx.append(sidx[_pc1_order(rows(sidx))])
                 block_Z.append(None)
             elif sidx.size > 2:
-                Z = hierarchy.linkage(condensed_dists(obj.expr[sidx]), method="ward")
+                Z = hierarchy.linkage(condensed_dists(rows(sidx)), method=method)
                 block_idx.append(sidx[hierarchy.leaves_list(Z)])
                 block_Z.append(Z)
             else:
@@ -142,9 +171,107 @@ def _group_cell_order_impl(obj: InferCNV, group: str, idx: np.ndarray):
             return concat[leaves], Zm
         return concat, None
     if idx.size > ORDER_LINKAGE_MAX:
-        return idx[_pc1_order(obj.expr[idx])], None
-    Z = hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
+        return idx[_pc1_order(rows(idx))], None
+    Z = hierarchy.linkage(condensed_dists(rows(idx)), method=method)
     return idx[hierarchy.leaves_list(Z)], Z
+
+
+def _pane_edges(group_sizes: List[Tuple[str, int]], max_rows: int):
+    """Display-bin edges per group (same allocation as _downsample_rows:
+    proportional bins within group boundaries, so separators stay exact).
+    Returns (edges_per_group, new_sizes, downsampled?)."""
+    n = sum(s for _g, s in group_sizes)
+    if n <= max_rows:
+        return None, group_sizes, False
+    eds: List[np.ndarray] = []
+    new_sizes: List[Tuple[str, int]] = []
+    for g, size in group_sizes:
+        nb = min(size, max(1, int(round(max_rows * size / n))))
+        eds.append(np.linspace(0, size, nb + 1).astype(int))
+        new_sizes.append((g, nb))
+    return eds, new_sizes, True
+
+
+def _pane_matrix_dense(expr: np.ndarray, idx_ordered: np.ndarray,
+                       group_sizes: List[Tuple[str, int]], max_rows: int,
+                       lo: float, hi: float,
+                       lut: Optional[np.ndarray] = None):
+    """Display matrix for one pane straight from the SOURCE rows: each
+    display bin is the mean of its member cells' clipped rows.  The full
+    [C, G] matrix is only READ (scattered row gathers); nothing full-size
+    is written — on hosts where writes are 50x slower than reads this is
+    the difference between seconds and minutes at 100k cells.
+
+    lut: optional value table for small-int sources (state matrices);
+    display values are lut[source]."""
+
+    def vals(block):
+        block = lut[block] if lut is not None else block
+        return np.clip(block, lo, hi)
+
+    edges, new_sizes, down = _pane_edges(group_sizes, max_rows)
+    G = expr.shape[1]
+    if not down:
+        return vals(expr[idx_ordered]).astype(np.float32, copy=False), \
+            new_sizes, False
+    out = np.empty((sum(s for _g, s in new_sizes), G), np.float32)
+    row = 0
+    acc = 0
+    for (g, size), ed in zip(group_sizes, edges):
+        rows = idx_ordered[acc:acc + size]
+        for k in range(len(ed) - 1):
+            out[row] = vals(expr[rows[ed[k]:ed[k + 1]]]).mean(axis=0)
+            row += 1
+        acc += size
+    return out, new_sizes, True
+
+
+def _pane_matrix_rows(rows_kg: np.ndarray, cell_to_row: np.ndarray,
+                      idx_ordered: np.ndarray,
+                      group_sizes: List[Tuple[str, int]], max_rows: int,
+                      lo: float, hi: float):
+    """Display matrix for one pane from FACTORIZED per-group values
+    (rows [K, G] + cell->row map): the expanded [C, G] matrix is never
+    materialized — each display bin mixes the few distinct group rows its
+    member cells map to (state/proxy plots at 100k cells render in O(K*G))."""
+    rows_kg = np.clip(np.asarray(rows_kg, np.float32), lo, hi)
+    ids_ordered = cell_to_row[idx_ordered]
+    edges, new_sizes, down = _pane_edges(group_sizes, max_rows)
+    if not down:
+        return rows_kg[ids_ordered], new_sizes, False
+    G = rows_kg.shape[1]
+    out = np.empty((sum(s for _g, s in new_sizes), G), np.float32)
+    row = 0
+    acc = 0
+    for (g, size), ed in zip(group_sizes, edges):
+        ids = ids_ordered[acc:acc + size]
+        for k in range(len(ed) - 1):
+            sel = ids[ed[k]:ed[k + 1]]
+            uniq, cnt = np.unique(sel, return_counts=True)
+            out[row] = (cnt.astype(np.float32) @ rows_kg[uniq]) / sel.size
+            row += 1
+        acc += size
+    return out, new_sizes, True
+
+
+#: Full-matrix exact statistics (quantile x_range, histogram) are computed
+#: only below this many elements; above it they come from a seeded row
+#: sample / the display rows (logged).  8.9e8 elements (100k x 8.9k) would
+#: otherwise cost a full-size partition copy per plot.
+EXACT_STATS_MAX_ELEMS = 200_000_000
+
+
+def _estimate_x_range(expr: np.ndarray, x_center: float) -> Tuple[float, float]:
+    """get_x_range_auto, but on a deterministic row sample when the matrix
+    is too large for an exact full-matrix quantile."""
+    if expr.size <= EXACT_STATS_MAX_ELEMS:
+        return get_x_range_auto(expr, x_center)
+    n = expr.shape[0]
+    step = max(1, n // 4096)
+    sample = expr[::step]
+    log_info(f"-x_range: estimated from a 1-in-{step} row sample "
+             f"({sample.shape[0]} rows)")
+    return get_x_range_auto(sample, x_center)
 
 
 def _downsample_rows(mat: np.ndarray, group_sizes: List[Tuple[str, int]],
@@ -238,13 +365,29 @@ def plot_cnv(
     dynamic_resize: float = 0.0,
     max_pane_rows: int = 2000,
     row_order_cache: Optional[dict] = None,
+    row_values: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    value_lut: Optional[np.ndarray] = None,
+    hclust_method: str = "ward.D",
+    ref_contig=None,
 ) -> Optional[str]:
     """Render the heatmap; returns the output image path.
 
     dynamic_resize (reference inferCNV_heatmap.R:254-262): with > 200
     observation cells, the figure height grows by
     ``dynamic_resize * 3.6 * (nobs - 200) / 200`` inches so large runs keep
-    per-cell resolution."""
+    per-cell resolution.
+
+    Large-matrix design: the source matrix is only READ (row gathers into
+    per-pane display bins, _pane_matrix_dense); no clipped/reordered copy
+    of the full [C, G] matrix is ever written.  Two factorized inputs avoid
+    even the read pass:
+
+    * ``row_values=(rows [K, G], cell_to_row [C])`` — per-group values
+      (HMM state calls); panes render in O(K*G).  ``obj.expr`` is then only
+      consulted for row ordering (usually a row_order_cache hit).
+    * ``value_lut`` — obj.expr holds small ints (a state matrix); display
+      values are ``value_lut[state]``, applied per display block.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
@@ -252,45 +395,85 @@ def plot_cnv(
     from matplotlib.colors import Normalize
 
     os.makedirs(out_dir, exist_ok=True)
-    expr = np.asarray(obj.expr, np.float32)
+    expr = np.asarray(obj.expr)
+    rows_kg = cell_to_row = None
+    if row_values is not None:
+        rows_kg = np.asarray(row_values[0], np.float32)
+        cell_to_row = np.asarray(row_values[1], np.int64)
+    elif value_lut is None and expr.dtype != np.float32:
+        expr = expr.astype(np.float32)
+    lut = None if value_lut is None else np.asarray(value_lut, np.float32)
+
+    exact_stats = rows_kg is None and lut is None and \
+        expr.size <= EXACT_STATS_MAX_ELEMS
+
+    def _value_sample() -> np.ndarray:
+        """Representative float values for center/range/histogram when the
+        exact full-matrix statistics would be too expensive."""
+        if rows_kg is not None:
+            return rows_kg
+        step = max(1, expr.shape[0] // 4096)
+        s = expr[::step]
+        return lut[s] if lut is not None else s
+
     if x_center is None:
-        x_center = float(np.mean(expr))
-    if isinstance(x_range, str) and x_range == "auto":
-        lo, hi = get_x_range_auto(expr, x_center)
-    elif x_range is None:
-        lo, hi = get_x_range_auto(expr, x_center)
+        if rows_kg is not None:
+            w = np.bincount(cell_to_row, minlength=rows_kg.shape[0]).astype(np.float64)
+            x_center = float((w @ rows_kg.mean(axis=1)) / w.sum())
+        elif lut is not None:
+            cnt = np.bincount(expr.ravel(), minlength=lut.size)
+            x_center = float(np.nansum(cnt * np.nan_to_num(lut)) / cnt.sum())
+        else:
+            x_center = float(np.mean(expr))
+    if isinstance(x_range, str) and x_range == "auto" or x_range is None:
+        if exact_stats:
+            lo, hi = get_x_range_auto(expr, x_center)
+        else:
+            lo, hi = get_x_range_auto(_value_sample(), x_center)
+            log_info("-x_range: estimated from sampled/factorized rows")
     else:
         lo, hi = float(x_range[0]), float(x_range[1])
-    data = np.clip(expr, lo, hi)
 
-    # display-space transform (bp-proportional x axis if requested)
-    if plot_chr_scale:
-        disp, disp_bounds = _bp_scale_matrix(data, obj.gene_order, chr_lengths)
-    else:
-        disp, disp_bounds = data, None
+    # ordering.  ref_contig (reference inferCNV_heatmap.R:553-573): cluster
+    # rows on the named contig's genes only, ignoring stored subclusters.
+    gene_sel = None
+    if ref_contig is not None:
+        want = {ref_contig} if isinstance(ref_contig, str) else set(ref_contig)
+        names = obj.gene_order.chr_names
+        gene_sel = np.nonzero(np.isin(
+            [names[c] for c in obj.gene_order.chr_ids], list(want)))[0]
+        if gene_sel.size == 0:
+            log_warn(f"ref_contig {ref_contig!r} matched no genes; "
+                     "clustering by all genomic locations")
+            gene_sel = None
 
-    # ordering
+    def order_group(group, idx, cluster):
+        return _group_cell_order(obj, group, idx, cluster, row_order_cache,
+                                 hclust_method=hclust_method,
+                                 gene_sel=gene_sel,
+                                 ignore_subclusters=gene_sel is not None)
+
     obs_order: List[np.ndarray] = []
     obs_group_sizes: List[Tuple[str, int]] = []
     obs_linkages: List = []
     if cluster_by_groups:
         for g, idx in obj.obs_groups.items():
-            o, Z = _group_cell_order(obj, g, np.asarray(idx), True,
-                                     row_order_cache)
+            o, Z = order_group(g, np.asarray(idx), True)
             obs_order.append(o)
             obs_group_sizes.append((g, o.size))
             obs_linkages.append(Z)
     else:
         idx = obj.all_obs_idx()
-        o, Zo = _group_cell_order(obj, "all_observations", idx, True,
-                                  row_order_cache)
+        o, Zo = order_group("all_observations", idx, True)
         obs_linkages.append(Zo)
         if k_obs_groups > 1 and idx.size > k_obs_groups:
             from scipy.cluster import hierarchy
 
             from infercnv_tpu.subcluster.distance import condensed_dists
 
-            Z = hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
+            Z = hierarchy.linkage(
+                condensed_dists(obj.expr[idx]),
+                method=R_TO_SCIPY_LINKAGE.get(hclust_method, "ward"))
             grps = hierarchy.fcluster(Z, t=k_obs_groups, criterion="maxclust")
             leaf = hierarchy.leaves_list(Z)
             o = idx[leaf]
@@ -304,12 +487,38 @@ def plot_cnv(
     ref_group_sizes: List[Tuple[str, int]] = []
     ref_linkages: List = []
     for g, idx in obj.ref_groups.items():
-        o, Zr = _group_cell_order(obj, g, np.asarray(idx), cluster_references,
-                                  row_order_cache)
+        o, Zr = order_group(g, np.asarray(idx), cluster_references)
         ref_order.append(o)
         ref_group_sizes.append((g, o.size))
         ref_linkages.append(Zr)
     ref_idx = np.concatenate(ref_order) if ref_order else np.zeros(0, np.int64)
+
+    # display pane matrices straight from the source (downsample-first)
+    def build_pane(idx_ordered, sizes, cap):
+        if rows_kg is not None:
+            return _pane_matrix_rows(rows_kg, cell_to_row, idx_ordered,
+                                     sizes, cap, lo, hi)
+        return _pane_matrix_dense(expr, idx_ordered, sizes, cap, lo, hi, lut)
+
+    obs_mat, obs_sizes_d, obs_down = build_pane(obs_idx, obs_group_sizes,
+                                                max_pane_rows)
+    ref_mats: List[Tuple[np.ndarray, List[Tuple[str, int]]]] = []
+    ref_down = False
+    for o, (g, size) in zip(ref_order, ref_group_sizes):
+        m, sz_d, di = build_pane(o, [(g, size)], max(64, max_pane_rows // 4))
+        ref_mats.append((m, sz_d))
+        ref_down = ref_down or di
+
+    # display-space transform (bp-proportional x axis if requested) — on
+    # the downsampled panes, never the full matrix
+    disp_bounds = None
+    if plot_chr_scale:
+        obs_mat, disp_bounds = _bp_scale_matrix(obs_mat, obj.gene_order,
+                                                chr_lengths)
+        ref_mats = [(_bp_scale_matrix(m, obj.gene_order, chr_lengths)[0], sz)
+                    for m, sz in ref_mats]
+    W = obs_mat.shape[1] if obs_mat.size else (
+        ref_mats[0][0].shape[1] if ref_mats else expr.shape[1])
 
     # figure
     G = obj.num_genes
@@ -349,7 +558,7 @@ def plot_cnv(
     from matplotlib.colors import ListedColormap
 
     if plot_chr_scale:
-        spans = disp_bounds + [disp.shape[1]]
+        spans = disp_bounds + [W]
         bar = np.concatenate([
             np.full(spans[ci + 1] - spans[ci], ci % len(CHR_BAR_COLORS))
             for ci in range(len(disp_bounds))
@@ -377,6 +586,13 @@ def plot_cnv(
                     fontsize=contig_lab_size)
     ax_chr.set_title(title, fontsize=11, pad=16)
 
+    if custom_color_pal is not None and not hasattr(custom_color_pal, "N"):
+        # a sequence of colors (reference custom_pal = color.palette(...)):
+        # build the ramp from them
+        from matplotlib.colors import LinearSegmentedColormap
+
+        custom_color_pal = LinearSegmentedColormap.from_list(
+            "infercnv_custom", list(custom_color_pal), N=255)
     cmap = custom_color_pal or color_palette(color_safe_pal)
     norm = Normalize(vmin=lo, vmax=hi)
 
@@ -399,24 +615,17 @@ def plot_cnv(
             ax.set_ylabel(label, fontsize=8)
             ax.yaxis.set_label_coords(-0.075, 0.5)
         # group labels on the right
-        W = disp.shape[1]
         acc = 0
         for (g, size) in group_sizes:
             ax.text(W + W * 0.005, n - (acc + size / 2), str(g)[:30],
                     fontsize=5, va="center", ha="left", clip_on=False)
             acc += size
 
-    obs_mat, obs_sizes_d, obs_down = _downsample_rows(
-        disp[obs_idx], obs_group_sizes, max_pane_rows)
     pane(ax_obs, obs_mat, obs_sizes_d, obs_title)
-    ref_down = False
     if have_ref:
-        for i, (o, (g, size)) in enumerate(zip(ref_order, ref_group_sizes)):
-            m, sz_d, down_i = _downsample_rows(disp[o], [(g, size)],
-                                               max(64, max_pane_rows // 4))
-            ref_down = ref_down or down_i
+        for i, (m, sz_d) in enumerate(ref_mats):
             pane(ref_axes[i], m, sz_d,
-                 ref_title if i == (len(ref_order) - 1) // 2 else "")
+                 ref_title if i == (len(ref_mats) - 1) // 2 else "")
 
     # dendrogram side panels (reference draws the row trees beside each pane)
     from infercnv_tpu.viz.dendro import draw_linkage
@@ -448,7 +657,9 @@ def plot_cnv(
     grad = np.linspace(lo, hi, 256)[None, :]
     kax.imshow(grad, aspect="auto", cmap=cmap, norm=norm,
                extent=(lo, hi, 0.0, 1.0))
-    counts, edges = np.histogram(data, bins=50, range=(lo, hi))
+    hist_src = expr if exact_stats else _value_sample()
+    counts, edges = np.histogram(np.clip(hist_src, lo, hi), bins=50,
+                                 range=(lo, hi))
     if counts.max() > 0:
         dens = counts / counts.max()
         kax.plot((edges[:-1] + edges[1:]) / 2, dens, color="cyan", lw=0.7)
@@ -491,6 +702,14 @@ def plot_cnv(
         for v in np.linspace(lo, hi, 31):
             f.write(f"{v}\n")
     if write_expr:
+        # the one output that inherently needs the full clipped matrix —
+        # materialized only on request
+        if rows_kg is not None:
+            data = np.clip(rows_kg, lo, hi)[cell_to_row]
+        elif lut is not None:
+            data = np.clip(lut[expr], lo, hi)
+        else:
+            data = np.clip(expr, lo, hi)
         write_expr_matrix(os.path.join(out_dir, f"{output_filename}.observations.txt"),
                           data, obj.gene_order, obj.cell_names, obs_idx)
         if have_ref:

@@ -166,3 +166,42 @@ def test_plot_cnv_chr_scale(tmp_path):
     import os
 
     assert out is not None and os.path.exists(out)
+
+
+def test_plot_cnv_hclust_method_ref_contig_custom_pal(tmp_path, rng):
+    """Reference plot_cnv surface: hclust_method for pane ordering
+    (inferCNV_heatmap.R:103), ref_contig single-contig clustering (:553-573),
+    and custom_color_pal as a color list."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.viz.heatmap import plot_cnv
+
+    G, C = 40, 24
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=("chr1", "chr2"),
+        chr_ids=np.array([0] * 20 + [1] * 20, np.int32),
+        start=np.arange(1, G + 1) * 100, stop=np.arange(1, G + 1) * 100 + 50,
+    )
+    expr = rng.normal(1, 0.1, (C, G)).astype(np.float32)
+    expr[12:, 20:] += 1.0  # chr2 signal separates half the tumor cells
+    obj = InferCNV(
+        expr=expr, counts=expr, gene_order=go,
+        cell_names=[f"c{i}" for i in range(C)],
+        ref_groups={"normal": np.arange(0, 6)},
+        obs_groups={"tumor": np.arange(6, C)},
+    )
+    p1 = plot_cnv(obj, str(tmp_path), output_filename="m_complete",
+                  hclust_method="complete",
+                  custom_color_pal=["#000080", "#FFFFFF", "#803000"])
+    p2 = plot_cnv(obj, str(tmp_path), output_filename="m_contig",
+                  ref_contig="chr2")
+    import os
+
+    assert os.path.exists(p1) and os.path.exists(p2)
+    # unknown contig logs a warning and falls back — should still render
+    p3 = plot_cnv(obj, str(tmp_path), output_filename="m_badcontig",
+                  ref_contig="chrZ")
+    assert os.path.exists(p3)
