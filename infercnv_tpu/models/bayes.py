@@ -82,7 +82,12 @@ def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int, n_ite
     ll = jnp.asarray(loglik, jnp.float32)
     m = jnp.asarray(cell_mask, jnp.float32)
 
-    thin = 10  # keep every 10th post-burn-in theta draw for diagnostics
+    # diagnostics traces: FULL post-burn-in theta draws (reference
+    # mcmcDiagnosticPlots runs on the full chains, inferCNV_BayesNet.R:
+    # 866-990); thin only if the host-side trace tensor would exceed
+    # ~256 MB (adaptive — at 100k cells / ~1200 regions it stays full)
+    full_bytes = n_iter * n_chains * R * S * 4
+    thin = max(1, -(-full_bytes // (256 * 1024 * 1024)))
     T = n_burn + n_iter
 
     chain_keys = jax.random.split(key, n_chains)

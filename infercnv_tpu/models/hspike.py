@@ -26,6 +26,7 @@ from infercnv_tpu.sim.meanvar import (
     fit_mean_var_spline,
     get_mean_var_table,
     get_mean_vs_p0_table,
+    group_stats_single_pass,
     simulate_meanvar_counts,
     simulate_simple_counts,
 )
@@ -62,9 +63,15 @@ def build_hspike(
     aggregate_normals: bool = False,
     seed: int = 12345,
     common_dispersion=0.1,
+    normalize_factor: float = None,
 ) -> InferCNV:
     """Build the hspike child object from `obj` (whose expr must already be
     depth-normalized, as in run() step 3 — reference inferCNV_ops.R:588-590).
+
+    normalize_factor: when set, obj.expr holds RAW counts and the depth
+    normalization is applied on the fly inside the single statistics pass
+    (the engine fast path keeps counts raw and normalizes on device, so
+    run() never materializes the normalized matrix on host).
 
     common_dispersion (sim_method='simple' only): NB dispersion for the
     count simulation.  The reference's live path hardcodes 0.1
@@ -103,12 +110,17 @@ def build_hspike(
     )
 
     # mean-variance / dropout trends from ALL cell groups of the real object
-    # (reference .get_mean_var_table via the full infercnv_obj)
+    # (reference .get_mean_var_table via the full infercnv_obj).  One chunked
+    # read pass computes every group statistic this builder needs — the
+    # per-group gathers it replaces wrote ~7 GB of copies at 100k cells.
     all_groups = list(obj.obs_groups.values()) + list(obj.ref_groups.values())
-    m_tab, v_tab = get_mean_var_table(obj.expr, all_groups)
-    mv_spline = fit_mean_var_spline(m_tab, v_tab)
-    m0_tab, p0_tab = get_mean_vs_p0_table(obj.expr, all_groups)
-    dropout_spline = fit_dropout_spline(m0_tab, p0_tab)
+    (all_stats, normal_stats), libsizes = group_stats_single_pass(
+        obj.expr, [all_groups, list(normal_lists.values())],
+        normalize_factor=normalize_factor)
+    a_means, a_vars, a_p0 = all_stats
+    mv_spline = fit_mean_var_spline(a_means.ravel(), a_vars.ravel())
+    dropout_spline = fit_dropout_spline(a_means.ravel(), a_p0.ravel())
+    n_means, _n_vars, _n_p0 = normal_stats
 
     sim_blocks: List[np.ndarray] = []
     ref_groups: Dict[str, np.ndarray] = {}
@@ -117,13 +129,15 @@ def build_hspike(
     cell_counter = 0
     median_norm_libsize = None
 
-    for normal_type, normal_idx in normal_lists.items():
+    for ni, (normal_type, normal_idx) in enumerate(normal_lists.items()):
         log_info(f"-hspike modeling of {normal_type}")
-        normal_expr = obj.expr[np.asarray(normal_idx)]  # [n_norm, G]
-        gene_means = normal_expr.mean(axis=0)[genes_means_use_idx]
+        gene_means = n_means[ni].astype(np.float32)[genes_means_use_idx]
         gene_means = np.where(gene_means == 0, 1e-3, gene_means)
         if median_norm_libsize is None:
-            median_norm_libsize = float(np.median(normal_expr.sum(axis=1)))
+            # every row of a depth-normalized matrix sums to the factor
+            median_norm_libsize = (
+                float(normalize_factor) if normalize_factor is not None
+                else float(np.median(libsizes[np.asarray(normal_idx)])))
 
         hspike_gene_means = gene_means * cnv_factor
 
@@ -137,8 +151,11 @@ def build_hspike(
             if common_dispersion == "auto":
                 from infercnv_tpu.sim.meanvar import estimate_common_dispersion
 
-                common_dispersion = estimate_common_dispersion(
-                    obj.expr[np.asarray(normal_idx)].T)
+                sl = obj.expr[np.asarray(normal_idx)]
+                if normalize_factor is not None:
+                    sl = sl / np.maximum(sl.sum(axis=1, keepdims=True), 1e-12) \
+                        * normalize_factor
+                common_dispersion = estimate_common_dispersion(sl.T)
                 log_info(f"-estimated NB common dispersion: {common_dispersion:g}")
             disp = float(common_dispersion)
             sim_norm = simulate_simple_counts(k1, gene_means, HSPIKE_NUM_CELLS,

@@ -81,6 +81,19 @@ def _smooth_kernel_k256(x0_ref, x1_ref, w_ref, out_ref):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _smooth_kernel_k256_bf16(x0_ref, x1_ref, w_ref, out_ref):
+    """bf16-multiply / f32-accumulate variant: ONE native MXU pass instead
+    of the 6-pass f32 emulation (HIGHEST).  ~0.1% relative error on
+    softmax-normalized pyramid weights — opt-in via
+    EngineConfig.matmul_dtype='bfloat16' (the f32 default keeps the
+    R-golden 1e-5 parity)."""
+    xw = jnp.concatenate([x0_ref[:, :], x1_ref[:, :]], axis=1)
+    out_ref[:, :] = jax.lax.dot_general(
+        xw.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _smooth_kernel_sides(*refs, n_side):
     """General (2S+1)-sided form for wide bands (coordinates smoothing)."""
     xs, w_ref, out_ref = refs[:n_side], refs[n_side], refs[n_side + 1]
@@ -96,9 +109,11 @@ def _smooth_kernel_sides(*refs, n_side):
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "side_tiles",
-                                             "num_genes", "interpret"))
+                                             "num_genes", "interpret",
+                                             "matmul_dtype"))
 def _apply_banded_pallas_k256(x, w_shifted, n_tiles: int, side_tiles: int,
-                              num_genes: int, interpret: bool = False):
+                              num_genes: int, interpret: bool = False,
+                              matmul_dtype: str = "float32"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -108,8 +123,10 @@ def _apply_banded_pallas_k256(x, w_shifted, n_tiles: int, side_tiles: int,
     padded = n_tiles * LANE
     xp = jnp.zeros((C + padc, 64 + padded + 64), jnp.float32)
     xp = xp.at[:C, 64:64 + num_genes].set(x)
+    kernel = (_smooth_kernel_k256_bf16 if matmul_dtype == "bfloat16"
+              else _smooth_kernel_k256)
     out = pl.pallas_call(
-        _smooth_kernel_k256,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((C + padc, padded), jnp.float32),
         grid=(n_tiles, (C + padc) // tile_r),
         in_specs=[

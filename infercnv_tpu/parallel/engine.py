@@ -45,6 +45,10 @@ class EngineConfig:
     denoise: bool = True
     sd_amplifier: float = 1.5
     hmm_t: float = 1e-6
+    #: "bfloat16" runs the banded smooth as ONE native MXU pass (bf16
+    #: multiply, f32 accumulate) instead of the 6-pass f32 emulation —
+    #: ~0.1% relative error, so the f32 default stays the parity path
+    matmul_dtype: str = "float32"
 
 
 class CnvEngine:
@@ -172,7 +176,8 @@ class CnvEngine:
 
                 return _apply_banded_pallas_k256(
                     x, self._w_shifted, n_tiles, side_tiles, num_genes,
-                    self._pallas_interpret)
+                    self._pallas_interpret,
+                    matmul_dtype=self.config.matmul_dtype)
             from infercnv_tpu.ops.smoothing import _apply_banded_pallas_sides
 
             return _apply_banded_pallas_sides(

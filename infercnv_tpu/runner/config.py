@@ -122,6 +122,9 @@ class RunConfig:
     contig_lab_size: int = 6
     color_safe: bool = False
     dynamic_resize: float = 0.0
+    #: cells per engine streaming chunk (None = 16384); smaller values
+    #: bound per-device HBM when a matrix exceeds one chip's budget
+    engine_chunk_cells: Optional[int] = None
     #: reference plot_cnv(custom_color_pal): 3 colors for the heatmap ramp
     custom_color_pal: Optional[Sequence[str]] = None
     #: reference plot_cnv(ref_contig): cluster rows on these contigs only

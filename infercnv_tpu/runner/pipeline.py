@@ -235,7 +235,8 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         norm_factor = _norm_factor(obj, mesh)
         ml, mr, _ = engine.ref_stats(obj.expr[ref_idx], norm_factor, onehot)
         C = obj.num_cells
-        chunk = max(16384 // n_dev, 1) * n_dev  # divisible by the mesh
+        base_chunk = cfg.engine_chunk_cells or 16384
+        chunk = max(base_chunk // n_dev, 1) * n_dev  # divisible by the mesh
         out = np.empty_like(obj.expr)
         # double-buffered streaming: dispatch chunk i+1 before blocking on
         # chunk i's result, so host<->device transfers overlap device
@@ -467,16 +468,31 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         result.infercnv_obj = obj
         return result
 
-    # STEP 3: depth normalization (+ hspike build)
+    # STEP 3: depth normalization (+ hspike build).  On the engine fast
+    # path (no per-step checkpoints, no sim_foreground) the normalized
+    # matrix is never materialized on host: counts stay RAW, the hspike
+    # statistics pass normalizes on the fly, and the engine normalizes on
+    # device (its transform is normalization-idempotent) — one fewer
+    # full-matrix host write at 100k cells.
+    raw_engine = (_engine_fast_ok(cfg, skip_past) and not cfg.save_rds
+                  and not cfg.sim_foreground)
     if skip_past < 3:
         log_info("STEP 03: normalization by sequencing depth")
         with timer.step("03_normalize+hspike"):
-            obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
+            norm_factor = None
+            if raw_engine:
+                norm_factor = float(np.median(
+                    np.asarray(obj.expr).sum(axis=1, dtype=np.float64)))
+                log_info("-engine fast path: counts stay raw on host "
+                         f"(device normalization, factor {norm_factor:g})")
+            else:
+                obj.expr = np.asarray(T.normalize_counts_by_seq_depth(obj.expr))
             if cfg.HMM and cfg.HMM_type == "i6":
                 obj.hspike = build_hspike(obj, sim_method=cfg.sim_method,
                                           aggregate_normals=cfg.hspike_aggregate_normals,
                                           seed=cfg.seed,
-                                          common_dispersion=cfg.hspike_common_dispersion)
+                                          common_dispersion=cfg.hspike_common_dispersion,
+                                          normalize_factor=norm_factor)
             if cfg.sim_foreground:
                 # developer/debug option (reference inferCNV_ops.R:592-593)
                 from infercnv_tpu.models.hspike import sim_foreground
@@ -808,13 +824,14 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 post_prob_normal_heatmap,
             )
 
-            try:  # plotting must never kill an analysis run
-                plot_cnv_probabilities(bayes_out, bayes_dir)
-                plot_cell_probabilities(bayes_out, bayes_dir)
-                post_prob_normal_heatmap(obj, bayes_out, bayes_out.regions,
-                                         cfg.out_dir)
-            except Exception as e:
-                log_warn(f"Bayes probability plots failed: {e}")
+            with timer.step("18_bayes_plots"):
+                try:  # plotting must never kill an analysis run
+                    plot_cnv_probabilities(bayes_out, bayes_dir)
+                    plot_cell_probabilities(bayes_out, bayes_dir)
+                    post_prob_normal_heatmap(obj, bayes_out, bayes_out.regions,
+                                             cfg.out_dir)
+                except Exception as e:
+                    log_warn(f"Bayes probability plots failed: {e}")
         if cfg.diagnostics:
             from infercnv_tpu.viz.bayes_plots import mcmc_diagnostic_plots
 
@@ -824,14 +841,15 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 log_warn(f"MCMC diagnostic plots failed: {e}")
         save(19, states=hmm_states)
         # adjusted report files
-        generate_cnv_region_reports(
-            obj, hmm_states,
-            output_filename_prefix=(
-                f"HMM_CNV_predictions{hmm_resume_token}.Pnorm_{cfg.BayesMaxPNormal:g}"),
-            out_dir=cfg.out_dir,
-            ignore_neutral_state=hmm_mod.NEUTRAL_STATE_I6 if cfg.HMM_type == "i6" else hmm_mod.NEUTRAL_STATE_I3,
-            by=cfg.HMM_report_by,
-        )
+        with timer.step("19_region_reports"):
+            generate_cnv_region_reports(
+                obj, hmm_states,
+                output_filename_prefix=(
+                    f"HMM_CNV_predictions{hmm_resume_token}.Pnorm_{cfg.BayesMaxPNormal:g}"),
+                out_dir=cfg.out_dir,
+                ignore_neutral_state=hmm_mod.NEUTRAL_STATE_I6 if cfg.HMM_type == "i6" else hmm_mod.NEUTRAL_STATE_I3,
+                by=cfg.HMM_report_by,
+            )
     if done(18) or done(19):
         result.infercnv_obj = obj
         return result

@@ -22,6 +22,62 @@ import numpy as np
 from infercnv_tpu.utils.splines import SmoothingSpline, fit_smoothing_spline
 
 
+def group_stats_single_pass(expr_cg: np.ndarray,
+                            group_sets: Sequence[Sequence[np.ndarray]],
+                            chunk: int = 8192,
+                            normalize_factor: float = None):
+    """ONE chunked read pass over [C, G] computing, for every group of every
+    group-set: per-gene (mean, var ddof=1, zero fraction), plus per-cell
+    library sizes.
+
+    Equivalent to the per-group gathers of get_mean_var_table /
+    get_mean_vs_p0_table (reference meanVarSim.R:178-196,
+    inferCNV_simple_sim.R:97-151) but without materializing any
+    [group, G] copy — at 100k cells those gathers alone write ~7 GB.
+    Accumulation in float64 (R computes in double).
+
+    Returns ([(means [K,G], vars [K,G], p0 [K,G]) per set], libsizes [C]).
+    """
+    C, G = expr_cg.shape
+    labelings = []
+    for groups in group_sets:
+        g_of = np.full(C, -1, np.int32)
+        for k, idx in enumerate(groups):
+            g_of[np.asarray(idx)] = k
+        labelings.append((g_of, len(groups)))
+    acc = [(np.zeros((K, G)), np.zeros((K, G)), np.zeros((K, G), np.int64))
+           for (_g, K) in labelings]
+    libsizes = np.empty(C, np.float64)
+    for b in range(0, C, chunk):
+        blk = expr_cg[b:b + chunk]
+        ls = blk.sum(axis=1, dtype=np.float64)
+        libsizes[b:b + chunk] = ls
+        if normalize_factor is not None:
+            # stats of the depth-normalized matrix from RAW counts, without
+            # ever materializing the normalized [C, G] matrix
+            blk = blk * (normalize_factor /
+                         np.maximum(ls, 1e-12))[:, None].astype(np.float32)
+        nz = blk == 0
+        for (g_of, K), (sums, sqs, zeros) in zip(labelings, acc):
+            gids = g_of[b:b + chunk]
+            for k in range(K):
+                sel = gids == k
+                if sel.any():
+                    sub = blk[sel]
+                    sums[k] += sub.sum(axis=0, dtype=np.float64)
+                    # fused multiply-accumulate in f64; no [n, G] square temp
+                    sqs[k] += np.einsum("ij,ij->j", sub, sub,
+                                        dtype=np.float64)
+                    zeros[k] += nz[sel].sum(axis=0)
+    out = []
+    for (g_of, K), groups, (sums, sqs, zeros) in zip(labelings, group_sets, acc):
+        ns = np.array([len(np.asarray(g)) for g in groups], np.float64)[:, None]
+        means = sums / ns
+        var = (sqs - ns * means * means) / np.maximum(ns - 1, 1)
+        out.append((means, np.maximum(var, 0.0), zeros / ns))
+    return out, libsizes
+
+
 def get_mean_var_table(expr_cg: np.ndarray, groups: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Pooled per-group per-gene (mean, var) rows
     (reference .get_mean_var_table meanVarSim.R:178-196; var has ddof=1)."""

@@ -99,13 +99,19 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
         n = len(cps)
         ncol = min(4, n)
         nrow = -(-n // ncol)
-        fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 2.2 * nrow),
-                                 squeeze=False)
+        big = n_pages > 1
+        # multi-page mode: smaller panels, no tight_layout (it lays out
+        # every axis twice and dominated wall-clock at 19 pages x 64
+        # panels), lower dpi — same information, ~5x faster per page
+        fig, axes = plt.subplots(
+            nrow, ncol,
+            figsize=((2.6 if big else 4) * ncol, (1.5 if big else 2.2) * nrow),
+            squeeze=False)
         for ri, cp in enumerate(cps):
             ax = axes[ri // ncol][ri % ncol]
             S, C = cp.shape
-            if C > 2000:
-                # a stacked area is visually identical to 2000+ adjacent
+            if C > 2000 or big:
+                # a stacked area is visually identical to adjacent unit
                 # bars and renders ~100x faster (one path per state
                 # instead of C rectangles)
                 cum = np.cumsum(cp, axis=0)
@@ -115,7 +121,7 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
                     ax.fill_between(xs, prev, cum[s], step="mid",
                                     color=cmap(s / max(S - 1, 1)), lw=0)
                     prev = cum[s]
-                ax.set_xlim(0, C - 1)
+                ax.set_xlim(-0.5, max(C - 0.5, 0.5))
             else:
                 bottom = np.zeros(C)
                 for s in range(S):
@@ -124,12 +130,19 @@ def plot_cell_probabilities(result: BayesResult, out_dir: str,
                     bottom += cp[s]
             ax.set_title(nms[ri], fontsize=6)
             ax.set_xticks([])
+            if big:
+                ax.set_yticks([])
         for k in range(n, nrow * ncol):
             axes[k // ncol][k % ncol].axis("off")
         suffix = "" if page == 0 else f".page{page + 1}"
         path = os.path.join(out_dir, f"{output_filename}{suffix}.png")
-        fig.tight_layout()
-        fig.savefig(path, dpi=150)
+        if big:
+            fig.subplots_adjust(hspace=0.8, wspace=0.15,
+                                left=0.03, right=0.99, top=0.97, bottom=0.02)
+            fig.savefig(path, dpi=110)
+        else:
+            fig.tight_layout()
+            fig.savefig(path, dpi=150)
         plt.close(fig)
         log_info(f"-wrote {path}")
         first_path = first_path or path

@@ -91,3 +91,37 @@ def test_engine_pallas_interpret_matches_xla(rng):
     _, sp = eng_p.full_chunk(counts, nf, ml, mr, nb)
     _, sx = eng_x.full_chunk(counts, nf, ml, mr, nb)
     assert np.array_equal(np.asarray(sp), np.asarray(sx))
+
+
+def test_banded_smooth_bf16_close_to_f32():
+    """bf16-MXU smooth variant (EngineConfig.matmul_dtype='bfloat16'):
+    interpret-mode kernel agrees with the exact f32 path to bf16 mantissa
+    precision (~0.4% worst-case on softmax-normalized pyramid weights)."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.ops.layout import smoothing_operator
+    from infercnv_tpu.ops.smoothing import _apply_banded_pallas_k256
+
+    G = 300
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=("chr1", "chr2"),
+        chr_ids=np.array([0] * 150 + [1] * 150, np.int32),
+        start=np.arange(G), stop=np.arange(G),
+    )
+    op = smoothing_operator(go, 51, "pyramidinal")
+    assert op.side_tiles == 1 and op.halfband <= 64
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (16, G)).astype(np.float32)
+    w = np.asarray(op.shifted_blocks())
+    f32 = np.asarray(_apply_banded_pallas_k256(
+        x, w, op.n_tiles, op.side_tiles, op.num_genes, True))
+    bf16 = np.asarray(_apply_banded_pallas_k256(
+        x, w, op.n_tiles, op.side_tiles, op.num_genes, True,
+        matmul_dtype="bfloat16"))
+    # error bounded relative to the row scale (near-zero entries carry
+    # absolute bf16 rounding noise)
+    assert np.max(np.abs(bf16 - f32)) < 2e-2 * np.max(np.abs(f32))
+    # and it is NOT bitwise identical (i.e. the variant actually engaged)
+    assert not np.array_equal(bf16, f32)

@@ -76,3 +76,19 @@ def test_run_mesh_uneven_cells(tmp_path):
     np.testing.assert_array_equal(res8.hmm_states, res1.hmm_states)
     np.testing.assert_allclose(res8.infercnv_obj.expr, res1.infercnv_obj.expr,
                                rtol=0, atol=1e-5)
+
+
+def test_run_mesh_multichunk_streaming_equals_single_chunk(tmp_path):
+    """The REASON the mesh exists: matrices bigger than one device's budget
+    stream through in multiple bounded chunks.  Force 4 chunks (ragged
+    tail) over the 8-device mesh via engine_chunk_cells and require the
+    same results as the single-chunk whole-matrix pass."""
+    obj = _toy_obj(num_cells=176)  # chunk 48 -> 4 chunks, last ragged (32)
+    r_stream = run(obj.copy(), out_dir=str(tmp_path / "stream"),
+                   n_devices=8, engine_chunk_cells=48, **KW)
+    r_whole = run(obj.copy(), out_dir=str(tmp_path / "whole"),
+                  n_devices=8, **KW)
+    np.testing.assert_array_equal(
+        np.asarray(r_stream.infercnv_obj.expr),
+        np.asarray(r_whole.infercnv_obj.expr))
+    np.testing.assert_array_equal(r_stream.hmm_states, r_whole.hmm_states)
