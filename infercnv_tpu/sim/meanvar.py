@@ -45,11 +45,16 @@ def group_stats_single_pass(expr_cg: np.ndarray,
         for k, idx in enumerate(groups):
             g_of[np.asarray(idx)] = k
         labelings.append((g_of, len(groups)))
-    acc = [(np.zeros((K, G)), np.zeros((K, G)), np.zeros((K, G), np.int64))
+    acc = [(np.zeros((K, G)), np.zeros((K, G)), np.zeros((K, G)))
            for (_g, K) in labelings]
     libsizes = np.empty(C, np.float64)
+    # reused per-chunk buffers: the square and the zero-indicator are the
+    # only full-width temporaries, written once per chunk
+    blk2 = np.empty((min(chunk, C), G), np.float32)
+    nzf = np.empty((min(chunk, C), G), np.float32)
     for b in range(0, C, chunk):
         blk = expr_cg[b:b + chunk]
+        n = blk.shape[0]
         ls = blk.sum(axis=1, dtype=np.float64)
         libsizes[b:b + chunk] = ls
         if normalize_factor is not None:
@@ -57,18 +62,19 @@ def group_stats_single_pass(expr_cg: np.ndarray,
             # ever materializing the normalized [C, G] matrix
             blk = blk * (normalize_factor /
                          np.maximum(ls, 1e-12))[:, None].astype(np.float32)
-        nz = blk == 0
+        np.multiply(blk, blk, out=blk2[:n])
+        nzf[:n] = (blk == 0)
         for (g_of, K), (sums, sqs, zeros) in zip(labelings, acc):
             gids = g_of[b:b + chunk]
-            for k in range(K):
-                sel = gids == k
-                if sel.any():
-                    sub = blk[sel]
-                    sums[k] += sub.sum(axis=0, dtype=np.float64)
-                    # fused multiply-accumulate in f64; no [n, G] square temp
-                    sqs[k] += np.einsum("ij,ij->j", sub, sub,
-                                        dtype=np.float64)
-                    zeros[k] += nz[sel].sum(axis=0)
+            # skinny one-hot sgemms: the chunk is READ three times, the
+            # only writes are [K, G] accumulators (BLAS, not per-group
+            # gather copies — those wrote a full matrix per group set)
+            onehot = np.zeros((K, n), np.float32)
+            valid = gids >= 0
+            onehot[gids[valid], np.nonzero(valid)[0]] = 1.0
+            sums += onehot @ blk
+            sqs += onehot @ blk2[:n]
+            zeros += onehot @ nzf[:n]
     out = []
     for (g_of, K), groups, (sums, sqs, zeros) in zip(labelings, group_sets, acc):
         ns = np.array([len(np.asarray(g)) for g in groups], np.float64)[:, None]
