@@ -79,15 +79,15 @@ _VMEM_BUDGET = 28 * 1024 * 1024  # keep under the 32 MB vmem_limit_bytes
 _BYTES_PER_ELT = 12  # f32 x + uint32 key + compare temps per element
 
 
-def _pick_tile_r(C: int, Gp: int) -> int:
+def _pick_tile_r(C: int, Gp: int, bytes_per_elt: int = _BYTES_PER_ELT) -> int:
     """Largest row-tile (multiple of 8, <= _TILE_R) whose VMEM footprint
-    (~12 bytes/element) fits the budget; 0 if even 8 rows do not fit —
-    the caller then falls back to the XLA row_median."""
-    cap = _VMEM_BUDGET // (_BYTES_PER_ELT * Gp)
+    fits the budget; 0 if even 8 rows do not fit — the caller then falls
+    back to the XLA row_median."""
+    cap = _VMEM_BUDGET // (bytes_per_elt * Gp)
     tile = min(_TILE_R, (cap // 8) * 8)
     if C < tile:
         tile = max(8, -(-C // 8) * 8)
-        if _BYTES_PER_ELT * tile * Gp > _VMEM_BUDGET:
+        if bytes_per_elt * tile * Gp > _VMEM_BUDGET:
             return 0
     return tile if tile >= 8 else 0
 
@@ -128,6 +128,103 @@ def _median_kernel(x_ref, out_ref, *, n, D):
         v1 = jnp.where(cnt_lt < k2, v2, m)
         med = (_from_key(v1) + _from_key(v2)) * 0.5
     out_ref[:, :] = jnp.broadcast_to(med, (R, LANE))
+
+
+def _median_epilogue_kernel(x_ref, gmin_ref, gmax_ref, out_ref, *, n, D):
+    """Fused tail of the engine residual: exact row median (radix select in
+    VMEM, exactly _median_kernel's math with columns >= n masked), then —
+    while the tile is still resident — the median subtraction, the
+    reference-bounds subtraction, and exp2, writing the FINAL residual
+    tile.  Saves two full HBM round-trips per chunk vs median kernel +
+    XLA epilogue (the slice/pad copies between them plus the epilogue's
+    own read+write)."""
+    x = x_ref[:, :]
+    R, Gp = x.shape
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (u >> 31) == 1
+    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+    # mask padded columns with the +inf key (0xFF800000): same select
+    # result as physically padding with +inf
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, Gp), 1)
+    key = jnp.where(col < n, key, jnp.uint32(0xFF800000))
+    k2 = n // 2
+    res = jnp.zeros((R, 1), jnp.uint32)
+    T = (1 << D) - 1
+    for p in range(32 // D - 1, -1, -1):
+        shift = p * D
+        best = res
+        for j in range(1, T + 1):
+            cand = res | jnp.uint32(j << shift)
+            cnt = jnp.sum((key < cand).astype(jnp.int32), axis=-1,
+                          keepdims=True)
+            best = jnp.where(cnt <= k2, cand, best)
+        res = best
+    v2 = res
+    if n % 2 == 1:
+        med = _from_key(v2)
+    else:
+        cnt_lt = jnp.sum((key < v2).astype(jnp.int32), axis=-1, keepdims=True)
+        ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000),
+                                            jnp.int32)
+        mi = jnp.max(jnp.where(key < v2, ikey, jnp.int32(-2147483648)),
+                     axis=-1, keepdims=True)
+        m = (jax.lax.bitcast_convert_type(mi, jnp.uint32)
+             ^ jnp.uint32(0x80000000))
+        v1 = jnp.where(cnt_lt < k2, v2, m)
+        med = (_from_key(v1) + _from_key(v2)) * 0.5
+    y = x - med                                  # identical op order to the
+    gmin = gmin_ref[0]                           # XLA epilogue it replaces
+    gmax = gmax_ref[0]
+    out = jnp.where(y > gmax, y - gmax, 0.0)
+    out = jnp.where(y < gmin, y - gmin, out)
+    out_ref[:, :] = jnp.exp2(out)
+
+
+@functools.partial(jax.jit, static_argnames=("num_genes", "interpret"))
+def median_center_residual_pallas(yp, gmin, gmax, num_genes: int,
+                                  interpret: bool = False) -> jax.Array:
+    """Fused residual tail on a PADDED [C, Gp] smooth output (columns >=
+    num_genes ignored): per-row exact median subtraction + reference
+    bounds subtraction + exp2, one VMEM round-trip.  Returns [C, Gp]
+    (padded columns carry don't-care values; the caller slices)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    yp = jnp.asarray(yp, jnp.float32)
+    C, Gp = yp.shape
+    tile_r = _pick_tile_r(C, Gp, bytes_per_elt=16)  # + the residual out tile
+    if tile_r == 0:
+        # fall back to the unfused ops (huge G)
+        med = row_median(yp[:, :num_genes])
+        y = yp - med[:, None]
+        out = jnp.where(y > gmax[None, :], y - gmax[None, :], 0.0)
+        out = jnp.where(y < gmin[None, :], y - gmin[None, :], out)
+        return jnp.exp2(out)
+    padc = (-C) % tile_r
+    ypp = jnp.pad(yp, ((0, padc), (0, 0))) if padc else yp
+    gpad = jnp.zeros((Gp,), jnp.float32)
+    gminp = gpad.at[:num_genes].set(jnp.asarray(gmin, jnp.float32)[:Gp])[None]
+    gmaxp = gpad.at[:num_genes].set(jnp.asarray(gmax, jnp.float32)[:Gp])[None]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_median_epilogue_kernel, n=num_genes, D=2),
+        out_shape=jax.ShapeDtypeStruct((C + padc, Gp), jnp.float32),
+        grid=((C + padc) // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, Gp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, Gp), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(ypp, gminp, gmaxp)
+    return out[:C]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

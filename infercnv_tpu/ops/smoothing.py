@@ -110,10 +110,15 @@ def _smooth_kernel_sides(*refs, n_side):
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "side_tiles",
                                              "num_genes", "interpret",
-                                             "matmul_dtype"))
+                                             "matmul_dtype", "padded_out"))
 def _apply_banded_pallas_k256(x, w_shifted, n_tiles: int, side_tiles: int,
                               num_genes: int, interpret: bool = False,
-                              matmul_dtype: str = "float32"):
+                              matmul_dtype: str = "float32",
+                              padded_out: bool = False):
+    """padded_out=True returns the raw [C, n_tiles*128] kernel output
+    (padded gene columns are exact zeros — the operator blocks carry zero
+    weights there) so a fused consumer (median_center_residual_pallas) can
+    read it without the slice copy."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -141,6 +146,8 @@ def _apply_banded_pallas_k256(x, w_shifted, n_tiles: int, side_tiles: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xp, xp, w_shifted)
+    if padded_out:
+        return out[:C]
     return out[:C, :num_genes]
 
 

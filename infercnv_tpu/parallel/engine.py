@@ -189,12 +189,41 @@ class CnvEngine:
 
     def _residual(self, counts, norm_factor, ref_means_log, ref_means_resid):
         cfg = self.config
-        from infercnv_tpu.ops.median import row_median, row_median_pallas
+        from infercnv_tpu.ops.median import (
+            median_center_residual_pallas,
+            row_median,
+            row_median_pallas,
+        )
 
+        counts = jnp.asarray(counts).astype(jnp.float32)  # u16/raw inputs OK
         cs = jnp.sum(counts, axis=1, keepdims=True)
         x = jnp.log2(counts / cs * norm_factor + 1.0)
         x = self._subtract(x, ref_means_log)
         x = jnp.clip(x, -cfg.max_centered_threshold, cfg.max_centered_threshold)
+        if (self.use_pallas and self._w_shifted is not None
+                and cfg.center_method == "median"
+                and cfg.ref_subtract_use_bounds
+                and cfg.matmul_dtype == "float32"):  # bf16+fused measured
+                # slower on v5e (Mosaic scheduling interaction)
+            # FUSED tail: the smooth kernel's padded output feeds the
+            # median+bounds+exp2 kernel directly — no slice/pad copies and
+            # no XLA epilogue pass between them.  Measured NEUTRAL on v5e
+            # (7.45 vs 7.42 ms per 8192-cell chunk: the radix select's VPU
+            # compute dominates, not HBM traffic) — kept because it halves
+            # the pass's HBM footprint, which pays on bandwidth-limited
+            # parts and larger gene axes.
+            from infercnv_tpu.ops.smoothing import _apply_banded_pallas_k256
+
+            n_tiles, side_tiles, num_genes = self._op_meta
+            yp = _apply_banded_pallas_k256(
+                x, self._w_shifted, n_tiles, side_tiles, num_genes,
+                self._pallas_interpret, matmul_dtype=cfg.matmul_dtype,
+                padded_out=True)
+            gmin = jnp.min(ref_means_resid, axis=0)
+            gmax = jnp.max(ref_means_resid, axis=0)
+            resid = median_center_residual_pallas(
+                yp, gmin, gmax, num_genes, interpret=self._pallas_interpret)
+            return resid[:, :num_genes]
         x = self._smooth(x)
         if cfg.center_method == "median":
             # exact radix-select (no sort); the Pallas kernel keeps all 16

@@ -125,3 +125,60 @@ def test_banded_smooth_bf16_close_to_f32():
     assert np.max(np.abs(bf16 - f32)) < 2e-2 * np.max(np.abs(f32))
     # and it is NOT bitwise identical (i.e. the variant actually engaged)
     assert not np.array_equal(bf16, f32)
+
+
+def test_fused_median_residual_matches_unfused():
+    """median_center_residual_pallas (interpret mode) == row-median
+    subtraction + bounds subtraction + exp2 composed from the unfused
+    ops, on a padded smooth output."""
+    import numpy as np
+
+    from infercnv_tpu.ops.median import median_center_residual_pallas
+
+    rng = np.random.default_rng(3)
+    C, G = 24, 300
+    Gp = 384  # padded to the lane multiple
+    yp = np.zeros((C, Gp), np.float32)
+    yp[:, :G] = rng.normal(0, 0.5, (C, G)).astype(np.float32)
+    gmin = rng.normal(-0.1, 0.02, G).astype(np.float32)
+    gmax = rng.normal(0.1, 0.02, G).astype(np.float32)
+    got = np.asarray(median_center_residual_pallas(
+        yp, gmin, gmax, G, interpret=True))[:, :G]
+
+    x = yp[:, :G]
+    med = np.median(x, axis=1, keepdims=True)
+    y = x - med
+    exp = np.where(y > gmax, y - gmax, 0.0)
+    exp = np.where(y < gmin, y - gmin, exp)
+    exp = np.exp2(exp)
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
+
+
+def test_engine_fused_pallas_residual_matches_xla(rng):
+    """The engine's fused Pallas residual path (use_pallas + interpret)
+    equals the pure-XLA path on the same inputs."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    G = 320
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=("chr1", "chr2"),
+        chr_ids=np.array([0] * 160 + [1] * 160, np.int32),
+        start=np.arange(G), stop=np.arange(G),
+    )
+    hmm = HMMParams(means=np.arange(1, 7) / 3.0, sds=np.full(6, 0.1), t=1e-6)
+    counts = rng.poisson(rng.gamma(2.0, 8.0, G)[None, :] *
+                         np.ones((64, 1))).astype(np.float32)
+    nf = float(np.median(counts.sum(axis=1)))
+    cfgk = dict(window_length=31, denoise=False)
+    e_xla = CnvEngine(go, hmm, EngineConfig(**cfgk), use_pallas=False)
+    e_pal = CnvEngine(go, hmm, EngineConfig(**cfgk), use_pallas=True)
+    assert e_pal._pallas_interpret  # CPU test env runs the kernels interpreted
+    ml, mr, nb = e_xla.ref_stats(counts[:16], nf)
+    r_xla = np.asarray(e_xla.transform_chunk(counts, nf, ml, mr))
+    r_pal = np.asarray(e_pal.transform_chunk(counts, nf, ml, mr))
+    np.testing.assert_allclose(r_pal, r_xla, rtol=2e-5, atol=2e-5)
