@@ -240,7 +240,13 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         out = np.empty_like(obj.expr)
         # double-buffered streaming: dispatch chunk i+1 before blocking on
         # chunk i's result, so host<->device transfers overlap device
-        # compute (the remote-TPU link is the bottleneck at 100k cells)
+        # compute (the remote-TPU link is the bottleneck at 100k cells).
+        # NOTE copy_to_host_async was measured to DOUBLE-transfer on the
+        # axon relay (worse than the cold synchronous fetch) — don't.
+        keep_device = (cfg.analysis_mode == "subclusters"
+                       and cfg.tumor_subcluster_partition_method == "leiden"
+                       and mesh is None)
+        device_chunks = [] if keep_device else None
         pending = []
         for b in range(0, C, chunk):
             block = obj.expr[b:b + chunk]
@@ -254,14 +260,22 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
                     block = np.concatenate(
                         [block, np.ones((pad, block.shape[1]), block.dtype)])
                 block = put_cell_sharded(block, mesh)
-            pending.append((b, nb, engine.transform_chunk(
-                block, norm_factor, ml, mr)))
+            r = engine.transform_chunk(block, norm_factor, ml, mr)
+            if device_chunks is not None:
+                device_chunks.append((b, nb, r))
+            pending.append((b, nb, r))
             if len(pending) > 1:
                 b0, n0, r0 = pending.pop(0)
                 out[b0:b0 + n0] = np.asarray(r0)[:n0]
         for b0, n0, r0 in pending:
             out[b0:b0 + n0] = np.asarray(r0)[:n0]
         obj.expr = out
+        if device_chunks is not None:
+            # the residual ALREADY lives on device — keep it for step 15's
+            # PCA/kNN so subclustering never re-uploads group rows (freed
+            # by the pipeline right after subclustering); a private attr,
+            # NOT options (checkpoints JSON-serialize options)
+            obj._device_residual = device_chunks
     if obj.hspike is not None:
         with timer.step("04-14_hspike_mirror"):
             _hspike_residual_chain(obj.hspike, cfg, float(cfg.max_centered_threshold))
@@ -633,8 +647,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             log_info(f"STEP 15: computing tumor subclusters via {cfg.tumor_subcluster_partition_method}")
             timer_ctx = timer.step("15_subclusters")
             timer_ctx.__enter__()
+            _dev_chunks = getattr(obj, "_device_residual", None)
+            obj._device_residual = None  # freed after this step
             subclusters_per_chr = define_tumor_subclusters(
                 obj,
+                device_chunks=_dev_chunks,
                 p_val=cfg.tumor_subcluster_pval,
                 k_nn=cfg.k_nn,
                 leiden_method=cfg.leiden_method,
@@ -651,6 +668,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 z_score_filter=cfg.z_score_filter,
                 seed=cfg.seed,
             )
+            del _dev_chunks  # release the device-resident residual copy
             timer_ctx.__exit__(None, None, None)
             if cfg.inspect_subclusters and not cfg.no_plot:
                 from infercnv_tpu.viz.subclusters import plot_subclusters

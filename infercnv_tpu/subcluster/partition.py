@@ -110,18 +110,39 @@ def _leiden_partition(
     return leiden(A, res, objective=objective, seed=seed)
 
 
+def _device_mean_profiles(device_rows, subclusters: Dict[str, np.ndarray],
+                          group_idx: np.ndarray) -> np.ndarray:
+    """Per-subcluster mean rows computed ON DEVICE from device-resident
+    group rows (one skinny matmul + a [K, G] download) — the host never
+    touches the group's full rows."""
+    import jax.numpy as jnp
+
+    pos = {int(c): i for i, c in enumerate(group_idx)}
+    K = len(subclusters)
+    onehot = np.zeros((K, device_rows.shape[0]), np.float32)
+    for k, sidx in enumerate(subclusters.values()):
+        onehot[k, [pos[int(c)] for c in sidx]] = 1.0 / len(sidx)
+    return np.asarray(jnp.asarray(onehot) @ device_rows)
+
+
 def _single_tumor_leiden_subclustering(
     group_name: str,
     group_idx: np.ndarray,
-    expr_sub: np.ndarray,
+    expr_sub: Optional[np.ndarray],
     k_nn: int,
     resolution,
     method: str,
     objective: str,
     seed: int,
+    device_rows=None,
 ) -> Tuple[Optional[np.ndarray], Dict[str, np.ndarray]]:
     """reference .single_tumor_leiden_subclustering (:569-643).
-    Returns (linkage or None, {subcluster_name: cell indices})."""
+    Returns (linkage or None, {subcluster_name: cell indices}).
+
+    device_rows: optional device-resident [n, G_kept] rows — the Leiden
+    route (PCA/kNN) then runs straight from device memory (no re-upload);
+    expr_sub (host rows) is only required for groups small enough for a
+    per-cell dendrogram (<= LINKAGE_MAX_CELLS)."""
     n = group_idx.shape[0]
     subclusters: Dict[str, np.ndarray] = {}
     if n < 3:
@@ -130,13 +151,21 @@ def _single_tumor_leiden_subclustering(
     if k_nn >= n:
         log_info(f"Less cells in group {group_name} than k_nn setting. Keeping as a single subcluster.")
         return ward_linkage(expr_sub), {group_name: group_idx}
-    part = _leiden_partition(expr_sub, k_nn, resolution, method, objective, seed)
+    part = _leiden_partition(
+        device_rows if device_rows is not None else expr_sub,
+        k_nn, resolution, method, objective, seed)
     # name clusters 1..K largest-first (reference iterates sort(table) desc)
     labels, counts = np.unique(part, return_counts=True)
     order = labels[np.argsort(-counts, kind="stable")]
     for lab in order:
         subclusters[f"{group_name}_s{lab + 1}"] = group_idx[part == lab]
-    Z = _group_linkage_scalable(expr_sub, subclusters, group_idx)
+    if expr_sub is not None:
+        Z = _group_linkage_scalable(expr_sub, subclusters, group_idx)
+    else:
+        profiles = _device_mean_profiles(device_rows, subclusters, group_idx)
+        log_info(f"-group of {n} cells: dendrogram over "
+                 f"{profiles.shape[0]} device-computed subcluster profiles")
+        Z = ward_linkage(profiles) if profiles.shape[0] >= 2 else None
     return Z, subclusters
 
 
@@ -312,12 +341,21 @@ def define_tumor_subclusters(
     z_score_filter: float = 0.8,
     seed: int = 12345,
     random_trees_window_size: int = 101,
+    device_chunks=None,
 ) -> Optional[Dict[str, Dict[str, np.ndarray]]]:
     """Populate obj.tumor_subclusters; returns subclusters_per_chr or None.
 
     Mirrors define_signif_tumor_subclusters (:2-177): observation groups
     (plus reference groups) are partitioned independently; the hspike child
     gets partition_method='none' (:155-160).
+
+    device_chunks: optional [(start, n, device_array [n, G])] — the
+    engine's device-resident residual.  The Leiden route then gene-filters
+    and row-slices ON DEVICE and feeds PCA/kNN device arrays directly:
+    nothing is re-uploaded, and the host full-size column-filtered copy
+    (a multi-GB write at 100k cells) is never built.  Partitions are
+    IDENTICAL to the host path (same float32 values enter the same
+    programs).
     """
     log_info(f"define_tumor_subclusters(p_val={p_val}, method={partition_method})")
     if cluster_by_groups:
@@ -343,17 +381,37 @@ def define_tumor_subclusters(
         keep_genes = np.arange(obj.num_genes)
     else:
         keep_genes = zscore_gene_filter(obj, z_score_filter)
-        expr = obj.expr[:, keep_genes]
+        expr = None
+        use_device = (device_chunks is not None and partition_method == "leiden"
+                      and not per_chr_hmm_subclusters)
+        dexpr = None
+        if use_device:
+            import jax.numpy as jnp
+
+            kg = jnp.asarray(keep_genes)
+            dexpr = jnp.concatenate(
+                [jnp.take(r[:nb], kg, axis=1) for (_b, nb, r) in device_chunks],
+                axis=0)
+        else:
+            expr = obj.expr[:, keep_genes]
 
     res: Dict[str, dict] = {"hc": {}, "subclusters": {}}
     rng = np.random.default_rng(seed)
     for gi, (group, idx) in enumerate(tumor_groups.items()):
         log_info(f"define_tumor_subclusters(), tumor: {group}")
-        sub_expr = expr[idx]
+        if partition_method != "random_trees" and expr is None:
+            # device route: host rows only for groups small enough to get
+            # a per-cell dendrogram
+            device_rows = jnp.take(dexpr, jnp.asarray(idx), axis=0)
+            sub_expr = (obj.expr[idx][:, keep_genes]
+                        if idx.size <= LINKAGE_MAX_CELLS else None)
+        else:
+            device_rows = None
+            sub_expr = expr[idx]
         if partition_method == "leiden":
             Z, subclusters = _single_tumor_leiden_subclustering(
                 group, idx, sub_expr, k_nn, leiden_resolution, leiden_method,
-                leiden_function, seed + gi,
+                leiden_function, seed + gi, device_rows=device_rows,
             )
         elif partition_method == "random_trees":
             parts = _random_trees_recurse(idx, sub_expr, p_val, rng,
