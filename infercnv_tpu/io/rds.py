@@ -681,7 +681,10 @@ class _RdsWriter:
 
     def s4(self, class_name: str, package: str,
            slots: List[Tuple[str, Any]]) -> None:
-        self._flags(S4SXP, has_attr=True, is_obj=True)
+        # levels bit 16 = S4_OBJECT_MASK: without it R's readRDS() yields
+        # isS4() == FALSE and S4 dispatch breaks (R emits 0x10319 for the
+        # flags word of a real S4 infercnv object; 0x319 without the bit)
+        self._flags(S4SXP, has_attr=True, is_obj=True, levels=16)
         self.attrs(list(slots) + [
             ("class", RString([class_name],
                               attrs=[("package", RString([package]))]))])

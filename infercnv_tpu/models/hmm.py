@@ -549,4 +549,7 @@ def assign_states_to_proxy_values(states: np.ndarray, num_states: int = 6) -> np
     (reference assign_HMM_states_to_proxy_expr_vals :1191-1206 i6,
     i3HMM.R:405-417 i3)."""
     table = I6_PROXY_VALUES if num_states == 6 else I3_PROXY_VALUES
-    return table[np.asarray(states) - 1].astype(np.float32)
+    s = np.asarray(states)
+    if s.dtype.kind not in "iu":  # float state matrices (old checkpoints)
+        s = s.astype(np.int64)
+    return table[s - 1].astype(np.float32)

@@ -194,12 +194,17 @@ def median_center_residual_pallas(yp, gmin, gmax, num_genes: int,
     C, Gp = yp.shape
     tile_r = _pick_tile_r(C, Gp, bytes_per_elt=16)  # + the residual out tile
     if tile_r == 0:
-        # fall back to the unfused ops (huge G)
-        med = row_median(yp[:, :num_genes])
-        y = yp - med[:, None]
-        out = jnp.where(y > gmax[None, :], y - gmax[None, :], 0.0)
-        out = jnp.where(y < gmin[None, :], y - gmin[None, :], out)
-        return jnp.exp2(out)
+        # fall back to the unfused ops (huge G): compute on the valid
+        # columns, return re-padded to the caller's Gp width
+        yv = yp[:, :num_genes]
+        med = row_median(yv)
+        y = yv - med[:, None]
+        gmin = jnp.asarray(gmin, jnp.float32)[None, :]
+        gmax = jnp.asarray(gmax, jnp.float32)[None, :]
+        out = jnp.where(y > gmax, y - gmax, 0.0)
+        out = jnp.where(y < gmin, y - gmin, out)
+        out = jnp.exp2(out)
+        return jnp.pad(out, ((0, 0), (0, Gp - num_genes)))
     padc = (-C) % tile_r
     ypp = jnp.pad(yp, ((0, padc), (0, 0))) if padc else yp
     gpad = jnp.zeros((Gp,), jnp.float32)

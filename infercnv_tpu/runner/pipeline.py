@@ -243,9 +243,14 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         # compute (the remote-TPU link is the bottleneck at 100k cells).
         # NOTE copy_to_host_async was measured to DOUBLE-transfer on the
         # axon relay (worse than the cold synchronous fetch) — don't.
+        # retaining the residual on device costs ~2x C*G*4 bytes of HBM
+        # (chunks + step 15's gene-filtered copy); guard so matrices that
+        # only fit BECAUSE of chunked streaming don't OOM the chip
+        resid_bytes = 2.2 * obj.num_cells * obj.num_genes * 4
         keep_device = (cfg.analysis_mode == "subclusters"
                        and cfg.tumor_subcluster_partition_method == "leiden"
-                       and mesh is None)
+                       and mesh is None
+                       and resid_bytes < 11e9)
         device_chunks = [] if keep_device else None
         pending = []
         for b in range(0, C, chunk):
@@ -354,6 +359,7 @@ def _plot_states(obj: InferCNV, values, cfg: RunConfig,
                   plot_chr_scale=cfg.plot_chr_scale, chr_lengths=cfg.chr_lengths,
                   row_order_cache=row_order_cache,
                   png_res=cfg.png_res,
+                  hclust_method=cfg.plot_hclust_method,
                   max_pane_rows=2000 if cfg.useRaster else 10**9,
                   output_format=cfg.output_format, **kw)
     except Exception as e:  # plotting must never kill an analysis run
@@ -705,6 +711,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                       write_phylo=cfg.write_phylo,
                       row_order_cache=row_order_cache,
                       png_res=cfg.png_res,
+                      hclust_method=cfg.plot_hclust_method,
                       max_pane_rows=2000 if cfg.useRaster else 10**9,
                       output_format=cfg.output_format)
             timer_plot.__exit__(None, None, None)

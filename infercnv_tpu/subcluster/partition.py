@@ -150,7 +150,11 @@ def _single_tumor_leiden_subclustering(
         return None, {f"{group_name}_s1": group_idx}
     if k_nn >= n:
         log_info(f"Less cells in group {group_name} than k_nn setting. Keeping as a single subcluster.")
-        return ward_linkage(expr_sub), {group_name: group_idx}
+        # expr_sub can be None on the device-residual route when k_nn was
+        # raised above LINKAGE_MAX_CELLS — the single-subcluster result
+        # stands; only the cosmetic per-cell dendrogram is skipped
+        return (ward_linkage(expr_sub) if expr_sub is not None else None), \
+            {group_name: group_idx}
     part = _leiden_partition(
         device_rows if device_rows is not None else expr_sub,
         k_nn, resolution, method, objective, seed)

@@ -261,19 +261,6 @@ def _pane_matrix_rows(rows_kg: np.ndarray, cell_to_row: np.ndarray,
 EXACT_STATS_MAX_ELEMS = 200_000_000
 
 
-def _estimate_x_range(expr: np.ndarray, x_center: float) -> Tuple[float, float]:
-    """get_x_range_auto, but on a deterministic row sample when the matrix
-    is too large for an exact full-matrix quantile."""
-    if expr.size <= EXACT_STATS_MAX_ELEMS:
-        return get_x_range_auto(expr, x_center)
-    n = expr.shape[0]
-    step = max(1, n // 4096)
-    sample = expr[::step]
-    log_info(f"-x_range: estimated from a 1-in-{step} row sample "
-             f"({sample.shape[0]} rows)")
-    return get_x_range_auto(sample, x_center)
-
-
 def _downsample_rows(mat: np.ndarray, group_sizes: List[Tuple[str, int]],
                      max_rows: int):
     """Mean-aggregate consecutive rows (within group boundaries, so
@@ -471,8 +458,11 @@ def plot_cnv(
 
             from infercnv_tpu.subcluster.distance import condensed_dists
 
+            rows_for_split = obj.expr[idx]
+            if gene_sel is not None:  # ref_contig drives this split too
+                rows_for_split = rows_for_split[:, gene_sel]
             Z = hierarchy.linkage(
-                condensed_dists(obj.expr[idx]),
+                condensed_dists(rows_for_split),
                 method=R_TO_SCIPY_LINKAGE.get(hclust_method, "ward"))
             grps = hierarchy.fcluster(Z, t=k_obs_groups, criterion="maxclust")
             leaf = hierarchy.leaves_list(Z)
