@@ -205,3 +205,38 @@ def test_plot_cnv_hclust_method_ref_contig_custom_pal(tmp_path, rng):
     p3 = plot_cnv(obj, str(tmp_path), output_filename="m_badcontig",
                   ref_contig="chrZ")
     assert os.path.exists(p3)
+
+
+def test_row_order_cache_keys_by_method(tmp_path, rng):
+    """Different hclust_method / ref_contig values must NOT reuse each
+    other's cached row orders (the cache key includes both)."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.viz.heatmap import plot_cnv
+
+    G, C = 30, 16
+    go = GeneOrder(
+        names=tuple(f"g{i}" for i in range(G)),
+        chr_names=("chr1", "chr2"),
+        chr_ids=np.array([0] * 15 + [1] * 15, np.int32),
+        start=np.arange(1, G + 1), stop=np.arange(1, G + 1),
+    )
+    expr = rng.normal(1, 0.3, (C, G)).astype(np.float32)
+    obj = InferCNV(
+        expr=expr, counts=expr, gene_order=go,
+        cell_names=[f"c{i}" for i in range(C)],
+        ref_groups={"normal": np.arange(0, 4)},
+        obs_groups={"tumor": np.arange(4, C)},
+    )
+    cache = {}
+    plot_cnv(obj, str(tmp_path), output_filename="a",
+             hclust_method="ward.D", row_order_cache=cache)
+    plot_cnv(obj, str(tmp_path), output_filename="b",
+             hclust_method="complete", row_order_cache=cache)
+    plot_cnv(obj, str(tmp_path), output_filename="c",
+             ref_contig="chr2", row_order_cache=cache)
+    methods = {k[1] for k in cache}
+    assert {"ward.D", "complete"}.issubset(methods)
+    assert any(k[2] is not None for k in cache)  # the ref_contig entries

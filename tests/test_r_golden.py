@@ -360,3 +360,28 @@ def test_written_rds_slot_layout_matches_reference_golden(tmp_path):
     oref = r_list(ours["reference_grouped_cell_indices"])
     assert min(int(np.asarray(strip(v)).min()) for v in gref.values()) >= 1
     assert min(int(np.asarray(strip(v)).min()) for v in oref.values()) >= 1
+
+
+def test_written_rds_has_s4_object_bit(tmp_path):
+    """R's readRDS must see isS4()==TRUE: the S4SXP flags word carries the
+    S4_OBJECT gp bit (16 << 12); a real R-written S4 object serializes as
+    0x10319 (regression: we emitted 0x319)."""
+    import gzip
+    import struct
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.core.object import InferCNV
+    from infercnv_tpu.io.rds import save_rds_infercnv
+
+    go = GeneOrder(names=("a", "b"), chr_names=("chr1",),
+                   chr_ids=np.zeros(2, np.int32),
+                   start=np.arange(2), stop=np.arange(2))
+    e = np.ones((2, 2), np.float32)
+    obj = InferCNV(expr=e, counts=e, gene_order=go, cell_names=["x", "y"],
+                   ref_groups={"n": np.array([0])},
+                   obs_groups={"t": np.array([1])})
+    p = str(tmp_path / "obj.rds")
+    save_rds_infercnv(obj, p)
+    raw = gzip.open(p, "rb").read()
+    flags = struct.unpack(">i", raw[14:18])[0]
+    assert flags & (16 << 12), hex(flags)
