@@ -35,8 +35,13 @@ def read_counts_matrix(path: str, sep: str = "\t") -> Tuple[np.ndarray, List[str
         return _read_counts_rds(path)
     if path.endswith(".h5ad") or path.endswith(".h5"):
         return read_h5ad_counts(path)
+    def unq(s: str) -> str:
+        # R's write.table quotes names by default (quote=TRUE); read.table
+        # strips them natively — mirror that
+        return s[1:-1] if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'" else s
+
     with _open(path) as f:
-        header = f.readline().rstrip("\n").split(sep)
+        header = [unq(h) for h in f.readline().rstrip("\n").split(sep)]
         # header may or may not carry a leading corner label
         first = f.readline().rstrip("\n").split(sep)
         ncols = len(first) - 1
@@ -44,13 +49,13 @@ def read_counts_matrix(path: str, sep: str = "\t") -> Tuple[np.ndarray, List[str
             cell_names = header
         else:
             cell_names = header[1:]
-        gene_names = [first[0]]
+        gene_names = [unq(first[0])]
         rows = [np.array(first[1:], np.float64)]
         for line in f:
             parts = line.rstrip("\n").split(sep)
             if len(parts) < 2:
                 continue
-            gene_names.append(parts[0])
+            gene_names.append(unq(parts[0]))
             rows.append(np.array(parts[1:], np.float64))
     mat = np.vstack(rows)
     log_info(f"-counts matrix: {mat.shape[0]} genes x {mat.shape[1]} cells")
@@ -131,14 +136,30 @@ def read_h5ad_counts(path: str, layer: Optional[str] = None) -> Tuple[np.ndarray
         if isinstance(node, h5py.Dataset):
             x_cg = np.asarray(node[()], np.float64)  # [C, G]
         else:
-            enc = node.attrs.get("encoding-type", b"")
+            enc = node.attrs.get(
+                "encoding-type", node.attrs.get("h5sparse_format", b""))
             if isinstance(enc, bytes):
                 enc = enc.decode()
-            shape = tuple(int(v) for v in node.attrs["shape"])
+            shape = tuple(int(v) for v in node.attrs.get(
+                "shape", node.attrs.get("h5sparse_shape", (0, 0))))
             data = node["data"][()]
             indices = node["indices"][()]
             indptr = node["indptr"][()]
-            cls = sp.csr_matrix if "csr" in enc else sp.csc_matrix
+            if "csr" in enc or "csc" in enc:
+                cls = sp.csr_matrix if "csr" in enc else sp.csc_matrix
+            else:
+                # no encoding attribute: infer from the indptr length
+                # (csr has shape[0]+1 pointers, csc shape[1]+1)
+                if len(indptr) == shape[0] + 1 and shape[0] != shape[1]:
+                    cls = sp.csr_matrix
+                elif len(indptr) == shape[1] + 1 and shape[0] != shape[1]:
+                    cls = sp.csc_matrix
+                else:
+                    raise ValueError(
+                        f"{path!r}: sparse X has no encoding-type/"
+                        "h5sparse_format attribute and the layout cannot be "
+                        "inferred (square matrix) — re-save with a current "
+                        "anndata version")
             x_cg = np.asarray(cls((data, indices, indptr), shape=shape).toarray(),
                               np.float64)
         cell_names = _h5_index(f["obs"])
@@ -185,7 +206,16 @@ def read_annotations_file(path: str) -> Dict[str, str]:
 def read_mtx(matrix_path: str, features_path: str, barcodes_path: str) -> Tuple[np.ndarray, List[str], List[str]]:
     """Read a 10x-style MTX triplet into a dense [G, C] matrix."""
     with _open(features_path) as f:
-        gene_names = [l.split("\t")[0].strip() for l in f if l.strip()]
+        gene_names = []
+        for l in f:
+            if not l.strip():
+                continue
+            cols = l.rstrip("\n").split("\t")
+            # CellRanger triplets are (ensembl id, SYMBOL, type): prefer the
+            # symbol column like the .h5 loader, so the same dataset yields
+            # the same gene identifiers in either format
+            gene_names.append(cols[1].strip() if len(cols) >= 2 and cols[1].strip()
+                              else cols[0].strip())
     with _open(barcodes_path) as f:
         cell_names = [l.strip() for l in f if l.strip()]
     with _open(matrix_path) as f:
@@ -195,6 +225,8 @@ def read_mtx(matrix_path: str, features_path: str, barcodes_path: str) -> Tuple[
             if line.startswith("%"):
                 continue
             parts = line.split()
+            if not parts:  # blank/trailing lines are legal in MTX files
+                continue
             if not header_done:
                 g, c, _nnz = int(parts[0]), int(parts[1]), int(parts[2])
                 mat = np.zeros((g, c), np.float64)

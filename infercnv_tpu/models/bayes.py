@@ -60,8 +60,10 @@ class BayesResult:
         self.regions: List[dict] = []  # region descriptors (modeled, pre-filter)
 
 
-@functools.partial(jax.jit, static_argnames=("n_chains", "n_burn", "n_iter"))
-def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int, n_iter: int):
+@functools.partial(jax.jit, static_argnames=("n_chains", "n_burn", "n_iter",
+                                             "thin"))
+def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int,
+                       n_iter: int, thin: int = 1):
     """Blocked Gibbs over all regions/chains at once.
 
     loglik: [R, Cmax, S] per-cell per-state log-likelihood (region gene
@@ -82,12 +84,9 @@ def _gibbs_all_regions(key, loglik, cell_mask, n_chains: int, n_burn: int, n_ite
     ll = jnp.asarray(loglik, jnp.float32)
     m = jnp.asarray(cell_mask, jnp.float32)
 
-    # diagnostics traces: FULL post-burn-in theta draws (reference
-    # mcmcDiagnosticPlots runs on the full chains, inferCNV_BayesNet.R:
-    # 866-990); thin only if the host-side trace tensor would exceed
-    # ~256 MB (adaptive — at 100k cells / ~1200 regions it stays full)
-    full_bytes = n_iter * n_chains * R * S * 4
-    thin = max(1, -(-full_bytes // (256 * 1024 * 1024)))
+    # thin is chosen by the CALLER from the TOTAL region count so every
+    # region block yields traces with the same time axis (blocks of
+    # different sizes must concatenate)
     T = n_burn + n_iter
 
     chain_keys = jax.random.split(key, n_chains)
@@ -159,16 +158,29 @@ def region_loglik(expr_cg: np.ndarray, regions: List[dict],
         RG[ri, r["gene_idx"]] = 1.0
     n_genes_r = RG.sum(axis=1)                                     # [R]
     RGT = jnp.asarray(RG.T)                                        # [G, R]
+    # only the rows this region block actually reads are shipped/multiplied
+    # — a block of small subcluster regions covers a fraction of the cells,
+    # and the full-matrix upload per block dominated the Bayes step at
+    # 100k cells (one full 3.4 GB link pass per block)
+    union = np.unique(np.concatenate([r["cell_idx"] for r in regions]))
+    use_subset = union.size <= int(0.6 * C)
+    if use_subset:
+        pos = np.full(C, -1, np.int64)
+        pos[union] = np.arange(union.size)
+        x_src = expr_cg[union]
+    else:
+        pos = None
+        x_src = expr_cg
     # moments STAY on device: only the [R, Cmax, S] padded log-likelihood
     # ever exists, and it feeds the (device) Gibbs directly — the [C, R]
     # moment matrices (~1 GB at 100k cells x 1000 regions) never ride the
     # host link
     parts1, parts2 = [], []
-    for b in range(0, C, chunk):
-        xc = jnp.asarray(expr_cg[b:b + chunk], jnp.float32)
+    for b in range(0, x_src.shape[0], chunk):
+        xc = jnp.asarray(x_src[b:b + chunk], jnp.float32)
         parts1.append(xc @ RGT)
         parts2.append((xc * xc) @ RGT)
-    X1 = jnp.concatenate(parts1) if len(parts1) > 1 else parts1[0]  # [C, R]
+    X1 = jnp.concatenate(parts1) if len(parts1) > 1 else parts1[0]  # [C', R]
     X2 = jnp.concatenate(parts2) if len(parts2) > 1 else parts2[0]
 
     Cmax = max(r["cell_idx"].size for r in regions)
@@ -176,7 +188,8 @@ def region_loglik(expr_cg: np.ndarray, regions: List[dict],
     cell_mask = np.zeros((R, Cmax), np.float32)
     for ri, r in enumerate(regions):
         nc = r["cell_idx"].size
-        pad_idx[ri, :nc] = r["cell_idx"]
+        src_rows = pos[r["cell_idx"]] if use_subset else r["cell_idx"]
+        pad_idx[ri, :nc] = src_rows
         cell_mask[ri, :nc] = 1.0
     rr = jnp.arange(R)[:, None]
     pj = jnp.asarray(pad_idx)
@@ -272,6 +285,17 @@ def run_bayesian_mixture(
     if len(blocks) > 1:
         log_info(f"-sampling in {len(blocks)} region blocks (memory budget)")
 
+    # diagnostics traces: FULL post-burn-in theta draws (reference
+    # mcmcDiagnosticPlots runs on the full chains, inferCNV_BayesNet.R:
+    # 866-990); thin only if the host-side trace tensor would exceed
+    # ~256 MB.  Computed from the TOTAL region count so every block's
+    # traces share a time axis.
+    full_bytes = N_ITER * n_chains * R * S * 4
+    thin = int(max(1, -(-full_bytes // (256 * 1024 * 1024))))
+    if thin > 1:
+        log_info(f"-theta diagnostics traces thinned 1-in-{thin} "
+                 f"({R} regions; full traces would be {full_bytes/1e6:.0f} MB)")
+
     theta_mean = np.zeros((R, S), np.float64)
     cell_probs: List[Optional[np.ndarray]] = [None] * R
     trace_list: List[np.ndarray] = []
@@ -281,7 +305,7 @@ def run_bayesian_mixture(
         th, ef, tr = _gibbs_all_regions(
             jax.random.fold_in(jax.random.PRNGKey(seed), bi),
             jnp.asarray(ll, jnp.float32), jnp.asarray(cell_mask),
-            n_chains, N_BURN, N_ITER)
+            n_chains, N_BURN, N_ITER, thin=thin)
         th = np.asarray(th)
         ef = np.asarray(ef)
         for j, ri in enumerate(blk):
@@ -371,8 +395,32 @@ def bayesian_filter_states(
     Returns (filtered state matrix, BayesResult)."""
     neutral = hmm_mod.NEUTRAL_STATE_I6 if hmm_type == "i6" else hmm_mod.NEUTRAL_STATE_I3
     if post_mcmc_method == "removeCells":
-        return remove_cells_filter(obj, hmm_states, hmm_type, BayesMaxPNormal,
-                                   hspike, report_by=report_by, seed=seed)
+        states, result = remove_cells_filter(
+            obj, hmm_states, hmm_type, BayesMaxPNormal, hspike,
+            report_by=report_by, seed=seed)
+        # the reference runs reassignCNV after removeCells too
+        # (inferCNV_BayesNet.R:1416-1421)
+        if reassign and result.regions:
+            probs = result.cnv_state_probabilities
+            for ri, r in enumerate(result.regions):
+                best = int(np.argmax(probs[:, ri])) + 1
+                if best != r["state"]:
+                    result.reassigned.append((r["name"], r["state"], best))
+                states[np.ix_(r["cell_idx"], r["gene_idx"])] = best
+            if result.reassigned:
+                log_info(f"Reassigned {len(result.reassigned)} CNV region(s) "
+                         "to their argmax posterior state (post removeCells)")
+        if out_dir is not None and result.cnv_state_probabilities is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, "CNV_State_Probabilities.dat")
+            probs = result.cnv_state_probabilities
+            with open(path, "w") as f:
+                f.write("\t".join(result.cnv_region_names) + "\n")
+                for s in range(probs.shape[0]):
+                    f.write(f"State:{s+1}\t" +
+                            "\t".join(f"{v:.6g}" for v in probs[s]) + "\n")
+            log_info(f"-wrote {path}")
+        return states, result
     result, regions = run_bayesian_mixture(
         obj, hmm_states, hmm_type, hspike, report_by=report_by, seed=seed)
     # region descriptors come from the factorized form when given; the

@@ -359,8 +359,9 @@ def viterbi_per_group(
         layout = get_layout(gene_order)
         use_pallas, interpret, unroll = default_flags()
         if mesh is not None:
-            platform = mesh.devices.flat[0].platform
-            use_pallas = platform not in ("cpu",)
+            from infercnv_tpu.ops.viterbi_pack import _is_tpu_platform
+
+            use_pallas = _is_tpu_platform(mesh.devices.flat[0].platform)
         n_dev = int(mesh.devices.size) if mesh is not None else 1
         x_in, sig_in = x_bg, sigma_rows
         if mesh is not None and B % n_dev:

@@ -232,5 +232,12 @@ def default_flags() -> Tuple[bool, bool, int]:
     off-TPU (tests); scan unrolling helps TPU (~1.3x) but inflates CPU
     compile time ~4x."""
     platform = jax.default_backend()
-    use_pallas = platform not in ("cpu",)
+    # Mosaic TPU kernel only: GPU and other accelerators take the XLA scan
+    # path (the kernel does not lower there)
+    use_pallas = _is_tpu_platform(platform)
     return use_pallas, False, (1 if platform == "cpu" else 4)
+
+
+def _is_tpu_platform(platform: str) -> bool:
+    """TPU-family backends, incl. the axon remote-TPU plugin."""
+    return platform in ("tpu", "axon")

@@ -72,7 +72,10 @@ class CnvEngine:
                 platform = mesh.devices.flat[0].platform
             else:
                 platform = jax.default_backend()
-            use_pallas = platform not in ("cpu",)
+            from infercnv_tpu.ops.viterbi_pack import _is_tpu_platform
+
+            # Mosaic TPU kernels only — GPU/other backends take the XLA path
+            use_pallas = _is_tpu_platform(platform)
         self.use_pallas = use_pallas
         # forcing the Pallas path off-TPU (tests) runs the kernel interpreted
         _platform = (mesh.devices.flat[0].platform if mesh is not None

@@ -195,6 +195,9 @@ def write_expr_matrix(path: str, expr_cg: np.ndarray, gene_order: GeneOrder,
     sub = np.asarray(expr_cg)[idx].T.astype(np.float64)  # [G, |idx|]
     rows = sub.tolist()  # bulk-convert: ~5x faster than per-element float()
     with open(path, "w") as f:
-        f.write("\t".join(f'"{cell_names[i]}"' for i in idx) + "\n")
+        # R write.table default: space-separated THROUGHOUT, quoted names
+        # (the header was tab-joined before — a mixed-separator file no
+        # single-separator parser could read)
+        f.write(" ".join(f'"{cell_names[i]}"' for i in idx) + "\n")
         for g, row in enumerate(rows):
             f.write('"' + gene_order.names[g] + '" ' + " ".join(map(repr, row)) + "\n")

@@ -121,10 +121,13 @@ def test_plot_cnv_expr_matrices_roundtrip(tmp_path):
              x_center=1.0, write_expr=True, png_res=50)
     obs_lines = (tmp_path / "m.observations.txt").read_text().strip().splitlines()
     assert len(obs_lines) == 1 + obj.num_genes  # header + genes
-    header = obs_lines[0].split("\t")
+    # R write.table format: space-separated throughout, quoted names
+    header = obs_lines[0].split(" ")
     assert len(header) == 12  # one column per observation cell
+    assert all(h.startswith('"') for h in header)
+    assert len(obs_lines[1].split(" ")) == 13  # gene name + 12 values
     ref_lines = (tmp_path / "m.references.txt").read_text().strip().splitlines()
-    assert len(ref_lines[0].split("\t")) == 10
+    assert len(ref_lines[0].split(" ")) == 10
 
 
 def test_color_safe_palette_differs():
