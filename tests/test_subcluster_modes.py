@@ -165,3 +165,27 @@ def test_remove_cells_filter(rng):
     assert (out[40:60, 0:30] == 2).mean() > 0.6
     # carriers keep the deletion call
     assert (out[20:40, 0:30] == 1).mean() > 0.6
+
+
+def test_remove_cells_mode_applies_reassign_and_writes_probs(rng, tmp_path):
+    """postMcmcMethod='removeCells' must still run reassignCNV afterwards
+    and write CNV_State_Probabilities.dat (reference
+    inferCNV_BayesNet.R:1404-1421 runs reassign for BOTH modes)."""
+    from infercnv_tpu.models.bayes import bayesian_filter_states
+
+    obj = make_obj(rng)
+    G = obj.num_genes
+    states = np.full((obj.num_cells, G), 2, np.int8)
+    # call an AMPLIFICATION (state 3) where the data actually shows a
+    # deletion: reassign must flip the region to the argmax state
+    states[20:60, 0:30] = 3
+    obj.expr[20:60, 0:30] = 0.75
+    out, result = bayesian_filter_states(
+        obj, states, hmm_type="i3", BayesMaxPNormal=0.9, hspike=None,
+        reassign=True, out_dir=str(tmp_path), report_by="consensus",
+        post_mcmc_method="removeCells")
+    assert result.reassigned, "argmax-mismatched region must be reassigned"
+    assert (out[20:60, 0:30] == 1).mean() > 0.6
+    import os
+
+    assert os.path.exists(tmp_path / "CNV_State_Probabilities.dat")
