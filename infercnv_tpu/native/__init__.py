@@ -39,8 +39,11 @@ def get_leiden_lib() -> Optional[ctypes.CDLL]:
     if _tried or os.environ.get("INFERCNV_TPU_NO_NATIVE"):
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        if not _build():
+    src = os.path.join(_DIR, "leiden.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

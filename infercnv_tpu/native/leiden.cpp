@@ -231,6 +231,7 @@ extern "C" int leiden_partition(const int64_t* indptr, const int32_t* indices,
   std::vector<int32_t> full(n);
   std::iota(full.begin(), full.end(), 0);
   Graph cur = g;
+  bool final_done = false;
   for (int level = 0; level < max_levels; ++level) {
     Partition part(cur, sizes, use_cpm != 0, resolution, total);
     bool improved = part.move_nodes(rng, (int64_t)cur.n * 40);
@@ -238,13 +239,28 @@ extern "C" int leiden_partition(const int64_t* indptr, const int32_t* indices,
     relabel(memb);
     std::vector<int32_t> ref =
         refine(cur, sizes, memb, use_cpm != 0, resolution, total, rng);
-    for (auto& f : full) f = ref[f];
     int k = 0;
     for (auto m : ref) k = std::max(k, m + 1);
-    if (!improved || k == cur.n) break;
+    if (!improved || k == cur.n) {
+      // canonical Leiden returns the MOVE partition of the final level;
+      // composing only `ref` would discard its merges (mirrors leiden.py)
+      for (auto& f : full) f = memb[f];
+      final_done = true;
+      break;
+    }
+    for (auto& f : full) f = ref[f];
     std::vector<double> new_sizes;
     cur = aggregate(cur, ref, sizes, new_sizes);
     sizes = std::move(new_sizes);
+  }
+  if (!final_done) {
+    // level budget exhausted mid-merge: one last move pass realizes the
+    // pending merges on the final aggregate graph
+    Partition part(cur, sizes, use_cpm != 0, resolution, total);
+    part.move_nodes(rng, (int64_t)cur.n * 40);
+    std::vector<int32_t> memb = part.membership;
+    relabel(memb);
+    for (auto& f : full) f = memb[f];
   }
   relabel(full);
   std::memcpy(membership_out, full.data(), sizeof(int32_t) * n);

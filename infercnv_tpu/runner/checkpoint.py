@@ -108,7 +108,7 @@ def save_step(obj: InferCNV, path: str, relevant_args: Dict,
               states: Optional[np.ndarray] = None) -> None:
     go = obj.gene_order
     meta = {
-        "relevant_args": {k: (None if v is None else v) for k, v in relevant_args.items()},
+        "relevant_args": dict(relevant_args),
         "cell_names": obj.cell_names,
         "ref_groups": _groups_to_json(obj.ref_groups),
         "obs_groups": _groups_to_json(obj.obs_groups),
@@ -176,7 +176,7 @@ def load_step(path: str) -> Tuple[InferCNV, Dict, Optional[np.ndarray]]:
         obs_groups=_groups_from_json(meta["obs_groups"]),
         options=options,
     )
-    if meta.get("subclusters"):
+    if meta.get("subclusters") is not None:  # {} still carries hc trees
         hc = {g: z[f"hc_{i}"] for i, g in enumerate(meta.get("hc_groups") or [])
               if f"hc_{i}" in z.files}
         obj.tumor_subclusters = {
@@ -203,6 +203,30 @@ def _json_eq(a, b) -> bool:
     return json.dumps(a, sort_keys=True, default=str) == json.dumps(b, sort_keys=True, default=str)
 
 
+def _peek_meta(path: str):
+    """Read ONLY the embedded JSON metadata of a step checkpoint — npz
+    members decompress lazily, so validating a candidate costs kilobytes
+    instead of materializing multi-GB expr/counts payloads."""
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(str(z["meta"]))
+
+
+def _candidate_matches(path: str, cum_args: Dict, counts_md5) -> bool:
+    """Cheap arg/md5 validation from the metadata alone; logs (instead of
+    silently skipping) when a checkpoint file cannot be read."""
+    try:
+        meta = _peek_meta(path)
+    except Exception as e:
+        log_info(f"resume: checkpoint {path} unreadable ({e}); skipping")
+        return False
+    saved_md5 = (meta.get("options") or {}).get("counts_md5") or meta.get("counts_md5")
+    if counts_md5 and saved_md5 and saved_md5 != counts_md5:
+        log_info(f"resume: checkpoint {path} was built from different "
+                 "input counts (md5 mismatch); recomputing")
+        return False
+    return _json_eq(meta["relevant_args"], cum_args)
+
+
 def scan_hmm_states(out_dir: str, cfg, resume_token: str,
                     counts_md5: Optional[str]) -> Tuple[int, Optional[np.ndarray]]:
     """Reload the HMM chain's state matrix from the step-19 (post-Bayes) or
@@ -214,18 +238,17 @@ def scan_hmm_states(out_dir: str, cfg, resume_token: str,
         path = os.path.join(out_dir, step_filename(step, resume_token))
         if not os.path.exists(path):
             continue
+        if not _candidate_matches(path, cum_args[step - 1], counts_md5):
+            continue
         try:
-            obj, saved_args, states = load_step(path)
-        except Exception:
+            _obj, _saved_args, states = load_step(path)
+        except Exception as e:
+            log_info(f"resume: checkpoint {path} failed to load ({e}); skipping")
             continue
         if states is None:
             continue
-        saved_md5 = obj.options.get("counts_md5")
-        if counts_md5 and saved_md5 and saved_md5 != counts_md5:
-            continue
-        if _json_eq(saved_args, cum_args[step - 1]):
-            log_info(f"resume: reusing HMM states from step {step}: {path}")
-            return step, np.asarray(states)
+        log_info(f"resume: reusing HMM states from step {step}: {path}")
+        return step, np.asarray(states)
     return 0, None
 
 
@@ -238,16 +261,15 @@ def scan_resume(out_dir: str, cfg, resume_token: str, counts_md5: Optional[str],
         path = os.path.join(out_dir, step_filename(step, resume_token))
         if not os.path.exists(path):
             continue
+        # validate from metadata alone before touching the (multi-GB at
+        # scale) array payloads — rejected candidates cost kilobytes
+        if not _candidate_matches(path, cum_args[step - 1], counts_md5):
+            continue
         try:
-            obj, saved_args, states = load_step(path)
-        except Exception:
+            obj, _saved_args, states = load_step(path)
+        except Exception as e:
+            log_info(f"resume: checkpoint {path} failed to load ({e}); skipping")
             continue
-        saved_md5 = obj.options.get("counts_md5")
-        if counts_md5 and saved_md5 and saved_md5 != counts_md5:
-            log_info(f"resume: checkpoint {path} was built from different "
-                     "input counts (md5 mismatch); recomputing")
-            continue
-        if _json_eq(saved_args, cum_args[step - 1]):
-            log_info(f"resume: reusing checkpoint for step {step}: {path}")
-            return step, obj, states
+        log_info(f"resume: reusing checkpoint for step {step}: {path}")
+        return step, obj, states
     return 0, None, None

@@ -31,6 +31,8 @@ def knn_graph(nn_idx: np.ndarray, num_cells: int, mode: str = "undirected") -> s
     graph_from_adjacency_matrix(mode='undirected' collapses, 'min' keeps
     mutual edges only) — reference .leiden_simple_snn (:725-741)."""
     C, k = nn_idx.shape
+    if C != num_cells:
+        raise ValueError(f"nn_idx has {C} rows but num_cells={num_cells}")
     rows = np.repeat(np.arange(C), k)
     cols = nn_idx.ravel()
     keep = rows != cols  # drop self loops
@@ -51,6 +53,8 @@ def snn_graph(nn_idx: np.ndarray, num_cells: int, prune: float = 1.0 / 15.0) -> 
     (Seurat FindNeighbors defaults; reference uses seurat_obs@graphs snn,
     R/inferCNV_tumor_subclusters.R:713-714)."""
     C, k = nn_idx.shape
+    if C != num_cells:
+        raise ValueError(f"nn_idx has {C} rows but num_cells={num_cells}")
     rows = np.repeat(np.arange(C), k)
     M = sparse.csr_matrix((np.ones(C * k), (rows, nn_idx.ravel())), shape=(C, C))
     shared = (M @ M.T).tocoo()  # counts of shared neighbors
@@ -177,25 +181,32 @@ def leiden(
     if total_weight == 0:
         return np.zeros(n, np.int64)
     sizes = np.ones(n)
-    membership_full = np.arange(n)
+    membership_full = np.arange(n)  # original node -> current Acur node
     Acur, sz = A, sizes
+    final_done = False
     for _level in range(max_levels):
         part = _Partition(Acur, sz, objective, resolution, total_weight)
         improved = part.move_nodes(rng)
         memb = _relabel(part.membership)
         # refinement: split each community into connected, well-merged parts
         refined = _refine(Acur, sz, memb, objective, resolution, total_weight, rng)
-        membership_full = refined[membership_full] if _level == 0 else _compose(membership_full, refined)
         k = refined.max() + 1
         if (not improved) or k == Acur.shape[0]:
+            # canonical Leiden RETURNS the move partition of the final
+            # level; composing only `refined` here would silently discard
+            # its merges and return a strictly finer partition
+            membership_full = memb[membership_full]
+            final_done = True
             break
+        membership_full = refined[membership_full]
         Acur, sz = _aggregate(Acur, refined, sz)
-        # map refined communities onto the merged (coarse) membership for next level
+    if not final_done:
+        # level budget exhausted mid-merge: one last move pass realizes
+        # the pending merges on the final aggregate graph
+        part = _Partition(Acur, sz, objective, resolution, total_weight)
+        part.move_nodes(rng)
+        membership_full = _relabel(part.membership)[membership_full]
     return _relabel(membership_full)
-
-
-def _compose(membership_full: np.ndarray, refined: np.ndarray) -> np.ndarray:
-    return refined[membership_full]
 
 
 def _refine(A, sizes, membership, objective, resolution, total_weight,

@@ -60,8 +60,10 @@ def sample_object(obj: InferCNV, n_cells: Optional[int] = 100,
 
     * ``n_cells`` (default): every sampled group is resampled to EXACTLY
       n_cells — randomly downsampled when larger (at least one cell kept
-      per subcluster), or upsampled by duplicating cells when smaller
-      (:170-244).  Duplicated cells are renamed ``<cell>_<k>``.
+      per subcluster when there are <= n_cells subclusters), or upsampled
+      by duplicating cells when smaller (:170-244).  EVERY cell of an
+      upsampled group is renamed ``<cell>_<k>`` (copy number), exactly as
+      the reference suffixes all cells of upsampled groups (:340-371).
     * ``every_n`` + ``above_m`` (both required): groups larger than
       above_m keep 1 cell in every_n (dendrogram-leaf order when a tree is
       stored), always keeping at least one cell per subcluster
@@ -93,7 +95,9 @@ def sample_object(obj: InferCNV, n_cells: Optional[int] = 100,
         if sub_of is not None:
             gsub: Dict[str, list] = {}
             for pos, (src, _name) in enumerate(entries):
-                key = sub_of.get(int(src), f"{group}_s1")
+                # sentinel that cannot collide with a real subcluster name
+                # (the reference's own flattening uses '<group>_s1')
+                key = sub_of.get(int(src), f"{group}.unassigned")
                 gsub.setdefault(key, []).append(start + pos)
             new_subclusters[group] = gsub
 
@@ -141,18 +145,32 @@ def sample_object(obj: InferCNV, n_cells: Optional[int] = 100,
 
         if idx.size >= n_cells:  # downsample (:149-151)
             log_info(f"Downsampling {group}")
-            if subs:
-                # proportional allocation, >= 1 per subcluster (keeps the
-                # every_n mode's representation guarantee in n_cells mode
-                # too; the reference random-samples blind here)
-                sizes = {k: len(v) for k, v in subs.items()}
-                total = sum(sizes.values())
+            if subs and len(subs) <= n_cells:
+                # EXACTLY n_cells via largest-remainder proportional
+                # allocation with >= 1 per subcluster (keeps the every_n
+                # mode's representation guarantee in n_cells mode too; the
+                # reference random-samples blind here).  Falls through to
+                # plain sampling when there are more subclusters than the
+                # target (exactness and representation can't both hold).
+                keys = list(subs.keys())
+                caps = np.array([len(subs[k]) for k in keys])
+                total = caps.sum()
+                quota = n_cells * caps / total
+                alloc = np.maximum(1, np.floor(quota).astype(int))
+                alloc = np.minimum(alloc, caps)
+                # distribute the remainder by largest fractional part,
+                # then trim overshoot from the largest allocations
+                while alloc.sum() < n_cells:
+                    room = (alloc < caps)
+                    frac = np.where(room, quota - alloc, -np.inf)
+                    alloc[int(np.argmax(frac))] += 1
+                while alloc.sum() > n_cells:
+                    big = np.where(alloc > 1, alloc - quota, -np.inf)
+                    alloc[int(np.argmax(big))] -= 1
                 chosen: List[int] = []
-                for k, sidx in subs.items():
-                    m = min(max(1, int(round(n_cells * sizes[k] / total))),
-                            sidx.size)
-                    chosen.extend(sorted(
-                        rng.choice(sidx, size=m, replace=False).tolist()))
+                for k, m in zip(keys, alloc):
+                    chosen.extend(sorted(rng.choice(
+                        subs[k], size=int(m), replace=False).tolist()))
                 sampled = np.asarray(chosen, np.int64)
             else:
                 sampled = np.sort(rng.choice(idx, size=n_cells, replace=False))

@@ -228,3 +228,22 @@ def test_sample_object_roundtrip_bundled_example(tmp_path):
 
     assert len(paths) == len(up.ref_groups) + len(up.obs_groups)
     assert all(p and os.path.exists(p) for p in paths)
+
+
+def test_sample_object_exact_count_with_many_subclusters(rng):
+    """Downsampling hits EXACTLY n_cells even with many tiny subclusters
+    (largest-remainder allocation), and falls back to plain sampling when
+    subclusters outnumber the target."""
+    obj = _small_obj(rng, C=120)
+    obj.obs_groups = {"tumor": np.arange(4, 120)}
+    subs = {f"tumor_s{i+1}": np.arange(4 + 2 * i, 6 + 2 * i)
+            for i in range(58)}  # 58 subclusters of 2 cells
+    obj.tumor_subclusters = {"subclusters": {"tumor": subs}, "hc": {}}
+    out = sample_object(obj, n_cells=100, on_references=False)
+    assert out.obs_groups["tumor"].size == 100
+    # every subcluster still represented (58 <= 100)
+    got = out.tumor_subclusters["subclusters"]["tumor"]
+    assert len(got) == 58 and all(len(v) >= 1 for v in got.values())
+    # more subclusters than target: plain sampling, still exact
+    out2 = sample_object(obj, n_cells=30, on_references=False)
+    assert out2.obs_groups["tumor"].size == 30
