@@ -149,15 +149,20 @@ def build_hspike(
                                                 HSPIKE_NUM_CELLS, dropout_spline)
         elif sim_method == "simple":
             if common_dispersion == "auto":
+                # estimated PER normal group (a local, never rebinding the
+                # parameter — else group B would silently reuse group A's
+                # dispersion)
                 from infercnv_tpu.sim.meanvar import estimate_common_dispersion
 
                 sl = obj.expr[np.asarray(normal_idx)]
                 if normalize_factor is not None:
                     sl = sl / np.maximum(sl.sum(axis=1, keepdims=True), 1e-12) \
                         * normalize_factor
-                common_dispersion = estimate_common_dispersion(sl.T)
-                log_info(f"-estimated NB common dispersion: {common_dispersion:g}")
-            disp = float(common_dispersion)
+                disp = float(estimate_common_dispersion(sl.T))
+                log_info(f"-estimated NB common dispersion for "
+                         f"{normal_type}: {disp:g}")
+            else:
+                disp = float(common_dispersion)
             sim_norm = simulate_simple_counts(k1, gene_means, HSPIKE_NUM_CELLS,
                                               disp, dropout_spline)
             sim_tumor = simulate_simple_counts(k2, hspike_gene_means, HSPIKE_NUM_CELLS,

@@ -21,7 +21,7 @@ import numpy as np
 
 from infercnv_tpu.core.object import InferCNV
 from infercnv_tpu.report.regions import GroupRegions
-from infercnv_tpu.utils.logging import log_info
+from infercnv_tpu.utils.logging import log_info, log_warn
 
 
 def _top_n_regions(region_rows: List[dict], top_n: int, bp_tolerance: float):
@@ -130,11 +130,18 @@ def compute_cnv_features(
 
 
 def _read_tsv_rows(path: str) -> List[Dict[str, str]]:
+    def unq(s: str) -> str:
+        return s[1:-1] if len(s) >= 2 and s[0] == s[-1] and s[0] == '"' else s
+
     with open(path) as f:
-        header = f.readline().rstrip("\n").split("\t")
+        header = [unq(h) for h in f.readline().rstrip("\n").split("\t")]
         rows = []
         for line in f:
-            parts = line.rstrip("\n").split("\t")
+            parts = [unq(p) for p in line.rstrip("\n").split("\t")]
+            if len(parts) == len(header) + 1:
+                # R write.table default row.names=TRUE: data rows carry a
+                # leading row-name field the header doesn't have
+                parts = parts[1:]
             rows.append(dict(zip(header, parts)))
     return rows
 
@@ -192,7 +199,11 @@ def load_group_regions_from_out_dir(infercnv_output_path: str):
             name=row["cnv_name"], state=int(row["state"]), chrom=row["chr"],
             start=int(row["start"]), end=int(row["end"]),
             genes=[], gene_states=[], gene_starts=[], gene_stops=[])
-    if os.path.exists(genes_path):
+    if not os.path.exists(genes_path):
+        log_warn(f"{genes_path} missing: per-gene counts unavailable, so "
+                 "proportion_* features will be 0 and top-N CNV ranking "
+                 "is by region count only")
+    else:
         for row in _read_tsv_rows(genes_path):
             reg = by_group.get(row["cell_group_name"], {}).get(row["gene_region_name"])
             if reg is None:
@@ -283,6 +294,25 @@ def add_to_metadata(
                     f.write(";".join([n] + members) + "\n")
 
     if adata is not None:
+        # align by CELL NAME, not position — the AnnData may be ordered or
+        # filtered independently of the infercnv input (the reference's
+        # add_to_seurat does the same via match(), seurat_interaction.R:55)
+        take = None
+        obs_names = getattr(adata, "obs_names", None)
+        if obs_names is not None:
+            lut = {c: i for i, c in enumerate(obj.cell_names)}
+            hits = [lut.get(str(c), -1) for c in obs_names]
+            n_miss = sum(1 for h in hits if h < 0)
+            if n_miss == 0:
+                take = np.asarray(hits)
+            elif n_miss < len(hits):
+                raise ValueError(
+                    f"{n_miss}/{len(hits)} AnnData obs_names not found in "
+                    "the infercnv object's cells; cannot align metadata")
+            else:
+                log_warn("AnnData obs_names share no cells with the "
+                         "infercnv object; assigning features positionally")
         for n in order:
-            adata.obs[column_prefix + n] = np.asarray(feats[n])
+            vals = np.asarray(feats[n])
+            adata.obs[column_prefix + n] = vals[take] if take is not None else vals
     return feats

@@ -865,9 +865,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             except Exception as e:
                 log_warn(f"MCMC diagnostic plots failed: {e}")
         save(19, states=hmm_states)
-        # adjusted report files
+        # adjusted report files — these FILTERED reports also replace the
+        # in-memory step-17 reports (the CLI's add_to_metadata export must
+        # see the same regions the written Pnorm_* files carry)
         with timer.step("19_region_reports"):
-            generate_cnv_region_reports(
+            result.region_reports = generate_cnv_region_reports(
                 obj, hmm_states,
                 output_filename_prefix=(
                     f"HMM_CNV_predictions{hmm_resume_token}.Pnorm_{cfg.BayesMaxPNormal:g}"),

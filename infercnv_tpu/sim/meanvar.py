@@ -34,7 +34,10 @@ def group_stats_single_pass(expr_cg: np.ndarray,
     get_mean_vs_p0_table (reference meanVarSim.R:178-196,
     inferCNV_simple_sim.R:97-151) but without materializing any
     [group, G] copy — at 100k cells those gathers alone write ~7 GB.
-    Accumulation in float64 (R computes in double).
+    Within-chunk contractions run as float32 sgemms accumulated into
+    float64 across chunks (matching the old per-group float32 np.var to
+    ~1e-6 relative; the spline fits consuming these are insensitive at
+    that scale).
 
     Returns ([(means [K,G], vars [K,G], p0 [K,G]) per set], libsizes [C]).
     """
@@ -177,6 +180,13 @@ def estimate_common_dispersion(counts_gc: np.ndarray,
     from scipy.special import gammaln
 
     y = np.asarray(counts_gc, np.float64)
+    # the likelihood surface of a SHARED dispersion is extremely stable
+    # under subsampling; cap the matrix so the ~100 objective evaluations
+    # below stay in seconds at 100k cells (deterministic strided sample)
+    MAX_ELEMS = 20_000_000
+    if y.size > MAX_ELEMS:
+        step_g = max(1, int(np.ceil(y.shape[0] * y.shape[1] / MAX_ELEMS) ** 0.5))
+        y = y[::step_g, ::step_g]
     libs = y.sum(axis=0)
     libs = np.where(libs > 0, libs, 1.0)
     # normalize to the mean library size (edgeR's equalizeLibSizes spirit)
@@ -202,13 +212,20 @@ def estimate_common_dispersion(counts_gc: np.ndarray,
     hi = logs[min(i + 1, grid - 1)]
     gr = (np.sqrt(5) - 1) / 2
     a, b = lo, hi
+    # standard golden-section: one NEW objective evaluation per iteration
+    # (the discarded endpoint's value is reused)
+    c = b - gr * (b - a)
+    d = a + gr * (b - a)
+    fc, fd = negll(c), negll(d)
     for _ in range(40):
-        c = b - gr * (b - a)
-        d = a + gr * (b - a)
-        if negll(c) < negll(d):
-            b = d
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = negll(c)
         else:
-            a = c
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = negll(d)
     return float(np.exp((a + b) / 2))
 
 

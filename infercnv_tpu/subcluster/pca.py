@@ -48,12 +48,12 @@ def variable_features_vst(x_cg: np.ndarray, n_features: int = 2000) -> np.ndarra
     Returns indices of the top `n_features` genes."""
     from infercnv_tpu.utils.splines import fit_smoothing_spline
 
-    x = np.asarray(x_cg, np.float64)
+    x = np.asarray(x_cg)
     C, G = x.shape
     if G <= n_features:
         return np.arange(G)
-    mu = x.mean(axis=0)
-    var = x.var(axis=0, ddof=1)
+    mu = x.mean(axis=0, dtype=np.float64)
+    var = x.var(axis=0, ddof=1, dtype=np.float64)
     ok = var > 0
     if ok.sum() < 10:
         return np.arange(G)
@@ -61,8 +61,18 @@ def variable_features_vst(x_cg: np.ndarray, n_features: int = 2000) -> np.ndarra
     exp_sd = np.sqrt(10.0 ** spline.predict(np.log10(np.maximum(mu, 1e-12))))
     exp_sd = np.maximum(exp_sd, 1e-12)
     clip = np.sqrt(C)
-    z = np.minimum((x - mu[None, :]) / exp_sd[None, :], clip)
-    std_var = z.var(axis=0, ddof=1)
+    # running moments of the clipped z, accumulated over ROW CHUNKS — a
+    # full-size standardized copy here was several [C, G] float64
+    # temporaries (tens of GB at 100k cells)
+    zsum = np.zeros(G)
+    zsq = np.zeros(G)
+    inv_sd = (1.0 / exp_sd)[None, :]
+    for b in range(0, C, 4096):
+        zb = np.minimum((x[b:b + 4096] - mu[None, :]) * inv_sd, clip)
+        zsum += zb.sum(axis=0, dtype=np.float64)
+        zsq += np.einsum("ij,ij->j", zb, zb)
+    zmean = zsum / C
+    std_var = (zsq - C * zmean * zmean) / (C - 1)
     std_var[~ok] = 0.0
     return np.sort(np.argsort(-std_var, kind="stable")[:n_features])
 
