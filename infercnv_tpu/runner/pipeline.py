@@ -76,6 +76,18 @@ class RunResult:
         self._hmm_proxy_values = value
 
 
+def _has_multiple_states(states) -> bool:
+    """True when more than one distinct state value exists — checked on
+    the factorized rows or row-chunks with early exit (np.unique over a
+    full [C, G] matrix sorts ~1e9 elements just to answer a yes/no)."""
+    src = np.asarray(getattr(states, "rows", states))
+    first = src.flat[0]
+    for b in range(0, src.shape[0], 1024):
+        if (src[b:b + 1024] != first).any():
+            return True
+    return False
+
+
 def _states_matrix(states) -> Optional[np.ndarray]:
     """Expand factorized GroupedStates to [C, G] (no-op on a matrix)."""
     if states is not None and hasattr(states, "materialize"):
@@ -398,6 +410,17 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
         orig_obj = obj
         step, restored, _states = ckpt.scan_resume(
             cfg.out_dir, cfg, resume_token, obj.options.get("counts_md5"))
+        if (15 <= step <= 16 and cfg.HMM
+                and cfg.per_chr_hmm_subclusters
+                and cfg.tumor_subcluster_partition_method == "leiden"):
+            # the per-chromosome partitions step 17 needs are not
+            # checkpointed; resuming at 15/16 would silently downgrade the
+            # HMM to plain subcluster mode — resume from 14 and recompute
+            log_warn("resume: per_chr_hmm_subclusters needs step 15 to "
+                     "re-run; resuming from step 14 instead")
+            step, restored, _states = ckpt.scan_resume(
+                cfg.out_dir, cfg, resume_token, obj.options.get("counts_md5"),
+                max_step=14)
         if step > 0:
             obj = restored
             resume_step = step
@@ -699,21 +722,24 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
 
             timer_plot = timer.step("15_prelim_plot")
             timer_plot.__enter__()
-            _plot_cnv(obj, out_dir=cfg.out_dir,
-                      output_filename="infercnv.preliminary",
-                      title="Preliminary infercnv (pre-noise filtering)",
-                      k_obs_groups=cfg.k_obs_groups,
-                      cluster_by_groups=cfg.cluster_by_groups,
-                      cluster_references=cfg.cluster_references,
-                      plot_chr_scale=cfg.plot_chr_scale,
-                      chr_lengths=cfg.chr_lengths,
-                      write_expr=cfg.write_expr_matrix,
-                      write_phylo=cfg.write_phylo,
-                      row_order_cache=row_order_cache,
-                      png_res=cfg.png_res,
-                      hclust_method=cfg.plot_hclust_method,
-                      max_pane_rows=2000 if cfg.useRaster else 10**9,
-                      output_format=cfg.output_format)
+            try:  # plotting must never kill an analysis run
+                _plot_cnv(obj, out_dir=cfg.out_dir,
+                          output_filename="infercnv.preliminary",
+                          title="Preliminary infercnv (pre-noise filtering)",
+                          k_obs_groups=cfg.k_obs_groups,
+                          cluster_by_groups=cfg.cluster_by_groups,
+                          cluster_references=cfg.cluster_references,
+                          plot_chr_scale=cfg.plot_chr_scale,
+                          chr_lengths=cfg.chr_lengths,
+                          write_expr=cfg.write_expr_matrix,
+                          write_phylo=cfg.write_phylo,
+                          row_order_cache=row_order_cache,
+                          png_res=cfg.png_res,
+                          hclust_method=cfg.plot_hclust_method,
+                          max_pane_rows=2000 if cfg.useRaster else 10**9,
+                          output_format=cfg.output_format)
+            except Exception as e:
+                log_warn(f"preliminary plot failed: {e}")
             timer_plot.__exit__(None, None, None)
     if done(15):
         result.infercnv_obj = obj
@@ -822,7 +848,7 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     if cfg.HMM and resume_step >= 19 and hmm_states is not None:
         log_info("STEPS 18-19: resuming post-Bayes filtered states from checkpoint")
     elif (cfg.HMM and cfg.BayesMaxPNormal > 0 and hmm_states is not None
-            and len(np.unique(getattr(hmm_states, "rows", hmm_states))) > 1):
+            and _has_multiple_states(hmm_states)):
         log_info("STEP 18: Run Bayesian Network Model on HMM predicted CNVs")
         from infercnv_tpu.models.bayes import bayesian_filter_states
 
@@ -982,8 +1008,10 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                      row_order_cache=row_order_cache,
                      output_format=cfg.output_format)
             timer_final.__exit__(None, None, None)
-        except ImportError:
-            log_warn("viz module unavailable; skipping final heatmap")
+        except Exception as e:
+            # plotting must never kill an analysis run: the in-memory
+            # RunResult and the final object still return to the caller
+            log_warn(f"final heatmap failed: {e}")
 
     timer.finish()
     result.infercnv_obj = obj

@@ -73,9 +73,14 @@ def merge_linkages(linkages: Sequence[Optional[np.ndarray]],
 
 def draw_linkage(ax, Z: np.ndarray, n_rows_total: int, row_start: int,
                  n_leaves: int, color: str = "black", lw: float = 0.5) -> None:
-    """Draw `Z` sideways (root left, leaves right) onto `ax`, whose y axis
-    spans the heatmap rows [0, n_rows_total] with row r of this block at
-    y = n_rows_total - (row_start + r) - 0.5 (imshow-reversed panes)."""
+    """Draw `Z` sideways (root left, leaves right) onto `ax`, a NORMAL
+    (y-up) axis spanning [0, n_rows_total].
+
+    Row geometry: the heatmap pane renders mat[::-1] on an image axis, so
+    pane display row r (0-based, in pane order) sits at PHYSICAL height
+    r + 0.5 from the bottom — which in this y-up axis is simply
+    y = row_start + r + 0.5.  (The previous n - r - 0.5 formula mirrored
+    every tree vertically against its rows.)"""
     dd = hierarchy.dendrogram(Z, no_plot=True, color_threshold=-1)
     leaves = dd["leaves"]
     # leaf order from dendrogram maps leaf position p -> original leaf index;
@@ -86,7 +91,7 @@ def draw_linkage(ax, Z: np.ndarray, n_rows_total: int, row_start: int,
     for xs, ys in zip(dd["icoord"], dd["dcoord"]):
         # icoord: leaf-axis coords (5, 15, ...) -> display rows
         rows = [(x - 5.0) / 10.0 for x in xs]
-        ypts = [n_rows_total - (row_start + r) - 0.5 for r in rows]
+        ypts = [row_start + r + 0.5 for r in rows]
         xpts = [1.0 - (h / max_h) for h in ys]  # root at x=0, leaves x=1
         ax.plot(xpts, ypts, color=color, lw=lw)
     ax.set_xlim(0, 1)

@@ -268,20 +268,17 @@ def _downsample_rows(mat: np.ndarray, group_sizes: List[Tuple[str, int]],
     step the reference gets from image(useRaster=TRUE) (inst/NEWS:164),
     done explicitly so a 10^5-10^6-row pane renders in seconds.
 
-    Returns (matrix, new_group_sizes, was_downsampled)."""
-    n = mat.shape[0]
-    if n <= max_rows:
+    Returns (matrix, new_group_sizes, was_downsampled).  Bin allocation is
+    shared with the render path (_pane_edges) so the two cannot drift."""
+    edges_list, new_sizes, down = _pane_edges(group_sizes, max_rows)
+    if not down:
         return mat, group_sizes, False
     out_blocks = []
-    new_sizes: List[Tuple[str, int]] = []
     acc = 0
-    for g, size in group_sizes:
+    for (g, size), edges in zip(group_sizes, edges_list):
         block = mat[acc:acc + size]
-        nb = min(size, max(1, int(round(max_rows * size / n))))
-        edges = np.linspace(0, size, nb + 1).astype(int)
-        down = np.add.reduceat(block, edges[:-1], axis=0) / np.diff(edges)[:, None]
-        out_blocks.append(down.astype(np.float32))
-        new_sizes.append((g, nb))
+        down_b = np.add.reduceat(block, edges[:-1], axis=0) / np.diff(edges)[:, None]
+        out_blocks.append(down_b.astype(np.float32))
         acc += size
     return np.concatenate(out_blocks), new_sizes, True
 
@@ -451,24 +448,50 @@ def plot_cnv(
             obs_linkages.append(Z)
     else:
         idx = obj.all_obs_idx()
-        o, Zo = order_group("all_observations", idx, True)
-        obs_linkages.append(Zo)
-        if k_obs_groups > 1 and idx.size > k_obs_groups:
-            from scipy.cluster import hierarchy
+        if (k_obs_groups > 1 and k_obs_groups < idx.size
+                and idx.size <= ORDER_LINKAGE_MAX):
+            # cut the SAME linkage that orders the rows into k blocks; the
+            # result is cached like any other ordering (state/proxy plots
+            # reuse the expression split instead of re-clustering states).
+            # Block sizes follow LEAF order — fcluster labels are contiguous
+            # along the leaves (each cluster is a subtree) but not sorted.
+            kkey = ("all_observations@k", hclust_method,
+                    None if gene_sel is None else gene_sel.tobytes(),
+                    k_obs_groups)
+            cached = (row_order_cache or {}).get(kkey)
+            if cached is not None and cached[0].size == idx.size:
+                o, (Zo, obs_group_sizes) = cached
+            else:
+                from scipy.cluster import hierarchy
 
-            from infercnv_tpu.subcluster.distance import condensed_dists
+                from infercnv_tpu.subcluster.distance import condensed_dists
 
-            rows_for_split = obj.expr[idx]
-            if gene_sel is not None:  # ref_contig drives this split too
-                rows_for_split = rows_for_split[:, gene_sel]
-            Z = hierarchy.linkage(
-                condensed_dists(rows_for_split),
-                method=R_TO_SCIPY_LINKAGE.get(hclust_method, "ward"))
-            grps = hierarchy.fcluster(Z, t=k_obs_groups, criterion="maxclust")
-            leaf = hierarchy.leaves_list(Z)
-            o = idx[leaf]
-            obs_group_sizes = [(f"obs_grp_{g}", int((grps == g).sum())) for g in np.unique(grps)]
+                rows_for_split = obj.expr[idx]
+                if gene_sel is not None:  # ref_contig drives this split too
+                    rows_for_split = rows_for_split[:, gene_sel]
+                Zo = hierarchy.linkage(
+                    condensed_dists(rows_for_split),
+                    method=R_TO_SCIPY_LINKAGE.get(hclust_method, "ward"))
+                grps = hierarchy.fcluster(Zo, t=k_obs_groups,
+                                          criterion="maxclust")
+                leaf = hierarchy.leaves_list(Zo)
+                o = idx[leaf]
+                labs = grps[leaf]
+                change = np.nonzero(np.diff(labs))[0] + 1
+                bounds = np.concatenate([[0], change, [labs.size]])
+                obs_group_sizes = [
+                    (f"obs_grp_{labs[b]}", int(e - b))
+                    for b, e in zip(bounds[:-1], bounds[1:])]
+                if row_order_cache is not None:
+                    row_order_cache[kkey] = (o, (Zo, obs_group_sizes))
+            obs_linkages.append(Zo)
         else:
+            o, Zo = order_group("all_observations", idx, True)
+            obs_linkages.append(Zo)
+            if k_obs_groups > 1 and k_obs_groups < idx.size:
+                log_warn(f"k_obs_groups={k_obs_groups} needs a full linkage "
+                         f"but the pane has {idx.size} cells (> "
+                         f"{ORDER_LINKAGE_MAX}); keeping one group")
             obs_group_sizes = [("all_observations", o.size)]
         obs_order = [o]
     obs_idx = np.concatenate(obs_order) if obs_order else np.zeros(0, np.int64)
@@ -493,11 +516,12 @@ def plot_cnv(
     obs_mat, obs_sizes_d, obs_down = build_pane(obs_idx, obs_group_sizes,
                                                 max_pane_rows)
     ref_mats: List[Tuple[np.ndarray, List[Tuple[str, int]]]] = []
-    ref_down = False
+    ref_downs: List[bool] = []  # per pane: one big group's downsampling
+    # must not blank the other panes' valid dendrograms
     for o, (g, size) in zip(ref_order, ref_group_sizes):
         m, sz_d, di = build_pane(o, [(g, size)], max(64, max_pane_rows // 4))
         ref_mats.append((m, sz_d))
-        ref_down = ref_down or di
+        ref_downs.append(di)
 
     # display-space transform (bp-proportional x axis if requested) — on
     # the downsampled panes, never the full matrix
@@ -638,8 +662,8 @@ def plot_cnv(
     if have_ref:
         for i, (Zr, (g, size)) in enumerate(zip(ref_linkages, ref_group_sizes)):
             dendro_panel(ref_dend_axes[i],
-                         [Zr] if not ref_down else [],
-                         [(g, size)] if not ref_down else [], size)
+                         [Zr] if not ref_downs[i] else [],
+                         [(g, size)] if not ref_downs[i] else [], size)
 
     # color key with value-density histogram (the vendored heatmap.cnv key,
     # reference inferCNV_heatmap.R:1461-1474, density.info='histogram')
@@ -671,11 +695,19 @@ def plot_cnv(
         from infercnv_tpu.report.newick import merged_group_newick
         from infercnv_tpu.subcluster.distance import condensed_dists
 
+        method = R_TO_SCIPY_LINKAGE.get(hclust_method, "ward")
         linkages, labels = {}, {}
         for g, idx in obj.obs_groups.items():
             idx = np.asarray(idx)
+            if idx.size > ORDER_LINKAGE_MAX:
+                # a per-cell newick needs an O(n^2) condensed matrix — at
+                # 100k cells that is ~40 GB; skip the group rather than OOM
+                log_warn(f"write_phylo: skipping group {g!r} "
+                         f"({idx.size} cells > {ORDER_LINKAGE_MAX})")
+                continue
             labels[g] = [obj.cell_names[i] for i in idx]
-            linkages[g] = (hierarchy.linkage(condensed_dists(obj.expr[idx]), method="ward")
+            linkages[g] = (hierarchy.linkage(condensed_dists(obj.expr[idx]),
+                                             method=method)
                            if idx.size > 2 else None)
         nwk = merged_group_newick(linkages, labels)
         with open(os.path.join(out_dir, f"{output_filename}.observations_dendrogram.txt"), "w") as f:
@@ -684,10 +716,14 @@ def plot_cnv(
     # text outputs (reference :803-846)
     with open(os.path.join(out_dir, f"{output_filename}.observation_groupings.txt"), "w") as f:
         f.write("cell_group_name cell\n")
+        # walk obs_idx by the group sizes (obs_order may be a single
+        # concatenated array in the k_obs_groups split, where zipping it
+        # against the k sizes would label every cell with group 1)
         pos = 0
-        for (g, size), rows in zip(obs_group_sizes, obs_order):
-            for r in rows:
+        for (g, size) in obs_group_sizes:
+            for r in obs_idx[pos:pos + size]:
                 f.write(f"{g} {obj.cell_names[r]}\n")
+            pos += size
     with open(os.path.join(out_dir, f"{output_filename}.heatmap_thresholds.txt"), "w") as f:
         for v in np.linspace(lo, hi, 31):
             f.write(f"{v}\n")
