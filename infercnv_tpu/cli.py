@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_ref_subtract_use_mean_bounds", action="store_true")
 
     # clustering
-    p.add_argument("--cluster_by_groups", action="store_true", default=True)
+    # reference CLI default is FALSE (scripts/inferCNV.R:255-262) even
+    # though run()'s own default is TRUE — mirror the CLI
+    p.add_argument("--cluster_by_groups", action="store_true", default=False)
     p.add_argument("--no_cluster_by_groups", dest="cluster_by_groups", action="store_false")
     p.add_argument("--no_cluster_references", action="store_true")
     p.add_argument("--k_obs_groups", type=int, default=1)
@@ -204,6 +206,12 @@ def main(argv=None) -> int:
         num_ref_groups=args.num_ref_groups,
         ref_subtract_use_mean_bounds=not args.no_ref_subtract_use_mean_bounds,
         cluster_by_groups=args.cluster_by_groups,
+        plot_probabilities=not args.no_plot_probabilities,
+        final_scale_limits=(
+            None if not args.final_scale_limits
+            else ("auto" if args.final_scale_limits == "auto"
+                  else tuple(float(v)
+                             for v in args.final_scale_limits.split(",")))),
         cluster_references=not args.no_cluster_references,
         k_obs_groups=args.k_obs_groups,
         hclust_method=args.hclust_method,
@@ -294,6 +302,14 @@ def main(argv=None) -> int:
                      output_filename="infercnv.median_filtered",
                      title="inferCNV (median filtered)",
                      x_center=1.0, x_range="auto",
+                     png_res=args.png_res,
+                     color_safe_pal=args.color_safe,
+                     custom_color_pal=(args.custom_color_pal.split(",")
+                                       if args.custom_color_pal else None),
+                     contig_lab_size=args.contig_lab_size,
+                     dynamic_resize=args.dynamic_resize,
+                     plot_chr_scale=args.plot_chr_scale,
+                     hclust_method=args.plot_hclust_method,
                      output_format=args.output_format)
 
     if args.HMM and res.region_reports is not None and final_obj is not None:

@@ -81,13 +81,25 @@ def _h5ad_shard(path: str, lo: int, hi: int, layer: Optional[str]):
             mat = sp.csr_matrix((data, indices, indptr - s0),
                                 shape=(hi - lo, shape[1]))
             return np.asarray(mat.toarray(), np.float32), gene_names, cell_names
-        # csc cells-x-genes: no contiguous row slice; read per-gene columns
-        data = node["data"][()]
-        indices = node["indices"][()]
+        # csc cells-x-genes: no contiguous ROW slice exists, so stream the
+        # columns in blocks and keep only rows [lo, hi) — I/O still touches
+        # every column's payload (CSC is the wrong layout for row shards)
+        # but host MEMORY stays O(shard + block), never the full matrix
         indptr = node["indptr"][()]
-        mat = sp.csc_matrix((data, indices, indptr), shape=shape)
-        return (np.asarray(mat[lo:hi].toarray(), np.float32),
-                gene_names, cell_names)
+        n_genes = shape[1]
+        out = np.zeros((hi - lo, n_genes), np.float32)
+        BLK = 256  # columns per read
+        for j0 in range(0, n_genes, BLK):
+            j1 = min(j0 + BLK, n_genes)
+            s0, s1 = int(indptr[j0]), int(indptr[j1])
+            if s0 == s1:
+                continue
+            data = node["data"][s0:s1]
+            rows_blk = node["indices"][s0:s1]
+            sub = sp.csc_matrix((data, rows_blk, indptr[j0:j1 + 1] - s0),
+                                shape=(shape[0], j1 - j0))
+            out[:, j0:j1] = sub[lo:hi].toarray()
+        return out, gene_names, cell_names
 
 
 def load_counts_shard(
@@ -120,6 +132,10 @@ def load_counts_shard(
 
         with h5py.File(path, "r") as f:
             if "matrix" in f and "X" not in f:
+                if layer:
+                    raise ValueError(
+                        f"{path!r} is a 10x CellRanger .h5 (no /layers); "
+                        f"layer={layer!r} cannot be honored")
                 num_cells = int(f["matrix"]["shape"][1])
             else:
                 # probe the SAME node _h5ad_shard will read, so the slice

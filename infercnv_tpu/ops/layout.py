@@ -192,7 +192,6 @@ def coordinate_smoothing_operator(gene_order, window_length: int = 10_000_000) -
     go = gene_order
     G = go.num_genes
     mid = (go.start + go.stop) / 2.0
-    rows: List[np.ndarray] = []
     max_off = 1
     entries = []  # (g, lo, weights)
     for (b, e) in go.chr_ranges():
@@ -201,16 +200,21 @@ def coordinate_smoothing_operator(gene_order, window_length: int = 10_000_000) -
             inside = np.nonzero((go.start[b:e] > p - window_length) & (go.stop[b:e] < p + window_length))[0] + b
             if inside.size == 0:
                 inside = np.array([g])
-            wts = 1.0 - np.abs(mid[inside] - p) / window_length
             to_add = inside.size // 2
             new_lo = max(b, int(inside.min()) - to_add)
             new_hi = min(e - 1, int(inside.max()) + to_add)
-            n_left = int(inside.min()) - new_lo
-            n_right = new_hi - int(inside.max())
-            wts = np.concatenate([np.full(n_left, 0.1), wts, np.full(n_right, 0.1)])
-            lo = new_lo
-            entries.append((g, lo, wts / wts.sum()))
-            max_off = max(max_off, g - lo, (lo + wts.size - 1) - g)
+            # weights assigned BY POSITION over the contiguous span: the
+            # triangular weight lands on its own gene even when `inside`
+            # has gaps (a gene longer than the window splits the set); gap
+            # and extension genes get the 0.1 constant.  For contiguous
+            # windows this is exactly the reference's layout; on gapped
+            # windows the reference R code recycles the weight vector
+            # (silent length mismatch in .smooth_helper_by_coordinates,
+            # inferCNV_ops.R:2594-2605) — a latent bug we do not copy.
+            span_w = np.full(new_hi - new_lo + 1, 0.1)
+            span_w[inside - new_lo] = 1.0 - np.abs(mid[inside] - p) / window_length
+            entries.append((g, new_lo, span_w / span_w.sum()))
+            max_off = max(max_off, g - new_lo, new_hi - g)
     band = np.zeros((2 * max_off + 1, G), np.float64)
     for g, lo, wts in entries:
         for i, wv in enumerate(wts):

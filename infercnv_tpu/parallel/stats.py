@@ -43,15 +43,21 @@ def _group_stats_local(x, onehot):
     return mean, jnp.sqrt(jnp.maximum(var, 0.0))
 
 
-def sharded_group_gene_stats(x, onehot, mesh: Mesh):
-    """x: [C, G] sharded on cells; onehot: [K, C] sharded on its cell axis.
-    Returns replicated (means [K, G], sds [K, G])."""
-    f = jax.jit(_shard_map(
+@functools.lru_cache(maxsize=8)
+def _group_stats_fn(mesh: Mesh):
+    return jax.jit(_shard_map(
         _group_stats_local, mesh=mesh,
         in_specs=(P("cells", None), P(None, "cells")),
         out_specs=(P(None, None), P(None, None)),
     ))
-    return f(x, onehot)
+
+
+def sharded_group_gene_stats(x, onehot, mesh: Mesh):
+    """x: [C, G] sharded on cells; onehot: [K, C] sharded on its cell axis.
+    Returns replicated (means [K, G], sds [K, G]).  The compiled program is
+    cached per mesh (a fresh jit wrapper per call would retrace+recompile
+    every invocation)."""
+    return _group_stats_fn(mesh)(x, onehot)
 
 
 def _kth_key_local(keys, k):
@@ -79,35 +85,50 @@ def _median_local(values):
     return jnp.where(odd, _from_key(v2[None])[0], med_even)
 
 
+@functools.lru_cache(maxsize=8)
+def _median_fn(mesh: Mesh):
+    return jax.jit(_shard_map(_median_local, mesh=mesh,
+                              in_specs=(P("cells"),), out_specs=P()))
+
+
 def sharded_median(values, mesh: Mesh):
     """Exact global median of a cells-sharded vector (e.g. per-cell library
-    sizes for the depth-norm factor) without gathering the data."""
-    f = jax.jit(_shard_map(_median_local, mesh=mesh,
-                           in_specs=(P("cells"),), out_specs=P()))
-    return f(values)
+    sizes for the depth-norm factor) without gathering the data.  Compiled
+    once per mesh."""
+    return _median_fn(mesh)(values)
 
 
-def _quantile_local(values, q, n_total):
-    """Type-7 (R default) quantile via two radix selects + interpolation."""
+def _quantile_local(values, lo_idx: int, hi_idx: int, frac: float):
+    """Type-7 (R default) quantile via two radix selects + interpolation.
+    The order-statistic indices and the interpolation fraction are HOST
+    float64 constants — computing h=(n-1)*q in on-device float32 quantizes
+    frac to ~0.06 at n=1e6, breaking np.quantile parity."""
     keys = _to_key(jnp.asarray(values, jnp.float32))
-    h = (n_total - 1) * q
-    lo_idx = jnp.floor(h).astype(jnp.int32)
-    frac = h - jnp.floor(h)
     v_lo = _kth_key_local(keys, lo_idx)
-    v_hi = _kth_key_local(keys, jnp.minimum(lo_idx + 1, n_total - 1))
+    v_hi = _kth_key_local(keys, hi_idx)
     lo = _from_key(v_lo[None])[0]
     hi = _from_key(v_hi[None])[0]
-    return lo + frac * (hi - lo)
+    return lo + jnp.float32(frac) * (hi - lo)
+
+
+@functools.lru_cache(maxsize=32)
+def _quantile_fn(mesh: Mesh, lo_idx: int, hi_idx: int, frac: float):
+    return jax.jit(_shard_map(
+        functools.partial(_quantile_local, lo_idx=lo_idx, hi_idx=hi_idx,
+                          frac=frac),
+        mesh=mesh, in_specs=(P("cells"),), out_specs=P()))
 
 
 def sharded_quantile(values, q: float, mesh: Mesh):
     """Exact global quantile (R type-7 interpolation, matching np.quantile)
-    of a cells-sharded vector — used for the heatmap x.range bounds."""
+    of a cells-sharded vector — used for the heatmap x.range bounds.
+    Compiled once per (mesh, order-statistic) pair."""
     n = int(np.prod(values.shape))
-    f = jax.jit(_shard_map(
-        functools.partial(_quantile_local, q=jnp.float32(q), n_total=n),
-        mesh=mesh, in_specs=(P("cells"),), out_specs=P()))
-    return f(values)
+    h = (n - 1) * float(q)            # float64 on host
+    lo_idx = int(np.floor(h))
+    frac = float(h - lo_idx)
+    hi_idx = min(lo_idx + 1, n - 1)
+    return _quantile_fn(mesh, lo_idx, hi_idx, frac)(values)
 
 
 def put_cell_sharded(x, mesh: Mesh):
