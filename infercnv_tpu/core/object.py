@@ -82,6 +82,9 @@ class InferCNV:
     def validate(self) -> None:
         """reference: validate_infercnv_obj (R/inferCNV.R:471-505)."""
         C, G = self.expr.shape
+        if self.counts.shape[0] != C:
+            raise ValueError(
+                f"counts has {self.counts.shape[0]} cells but expr has {C}")
         if self.counts.shape[1] != G and self.counts.shape != self.expr.shape:
             # counts keeps the full gene set only at creation; after gene
             # removal both are subset together (remove_genes, R/inferCNV.R:445)

@@ -244,8 +244,13 @@ class _Reader:
         if ptype == ALTREP_SXP:
             info = self.item()  # pairlist: (class . (package . type))
             state = self.item()
-            self.item()  # attributes (already expanded by class semantics)
-            return self._decode_altrep(info, state)
+            attrs_node = self.item()  # attributes (dim/names/class/levels)
+            val = self._decode_altrep(info, state)
+            attrs = {k: v for k, v in _pairlist_items(attrs_node)}
+            if attrs:
+                return RObj(strip(val), {**(val.attrs if isinstance(val, RObj)
+                                            else {}), **attrs})
+            return val
 
         if ptype in (SPECIALSXP, BUILTINSXP):
             n = self.i4()
@@ -496,57 +501,11 @@ def write_rds_matrix(path: str, mat: np.ndarray,
     """Write a numeric matrix as a gzipped .rds readable by R's readRDS().
 
     Lets R users of the reference package consume this framework's outputs
-    directly (and provides .rds fixtures for tests)."""
-    mat = np.asarray(mat, np.float64)
-    out = io.BytesIO()
-
-    def wi(v: int):
-        out.write(struct.pack(">i", v))
-
-    def wstr(s: str):
-        b = s.encode("utf-8")
-        wi(CHARSXP | (8 << 12))  # CHARSXP with UTF-8 charset bit in levels
-        wi(len(b))
-        out.write(b)
-
-    def wstrvec(strs: List[str]):
-        wi(STRSXP)
-        wi(len(strs))
-        for s in strs:
-            wstr(s)
-
-    def wsym(name: str):
-        wi(SYMSXP)
-        wstr(name)
-
-    out.write(b"X\n")
-    wi(2)  # version
-    wi(0x030500)  # writer
-    wi(0x020300)  # min reader
-    has_dimnames = bool(rownames or colnames)
-    flags = REALSXP | 0x200  # has attributes
-    wi(flags)
-    wi(mat.size)
-    out.write(np.ascontiguousarray(mat, ">f8").tobytes(order="F"))
-    # attribute pairlist: dim, then optionally dimnames, then NIL
-    wi(LISTSXP | 0x400)  # pairlist node with tag
-    wsym("dim")
-    wi(INTSXP)
-    wi(2)
-    out.write(np.asarray(mat.shape, ">i4").tobytes())
-    if has_dimnames:
-        wi(LISTSXP | 0x400)
-        wsym("dimnames")
-        wi(VECSXP)
-        wi(2)
-        for names, n in ((rownames, mat.shape[0]), (colnames, mat.shape[1])):
-            if names:
-                wstrvec([str(s) for s in names][:n])
-            else:
-                wi(NILVALUE_SXP)
-    wi(NILVALUE_SXP)  # end of attribute pairlist
-    with gzip.open(path, "wb") as f:
-        f.write(out.getvalue())
+    directly (and provides .rds fixtures for tests).  Thin wrapper over the
+    general serializer (write_rds + RMatrix) so matrix emission exists in
+    exactly one place."""
+    write_rds(path, RMatrix(np.asarray(mat, np.float64),
+                            rownames=rownames, colnames=colnames))
 
 
 class _RdsWriter:
@@ -564,6 +523,18 @@ class _RdsWriter:
     # -- primitives --------------------------------------------------------
     def wi(self, v: int) -> None:
         self._out.write(struct.pack(">i", v))
+
+    def wlen(self, n: int) -> None:
+        """Vector length: R's long-vector encoding (-1 + two 32-bit
+        halves) above 2^31-1 — struct.pack('>i') would raise there, and
+        this project's envelope (100k+ cells x tens of k genes) crosses
+        2^31 elements."""
+        if n <= 0x7FFFFFFF:
+            self.wi(n)
+        else:
+            self.wi(-1)
+            self.wi((n >> 32) & 0xFFFFFFFF)
+            self.wi(n & 0xFFFFFFFF)
 
     def header(self) -> None:
         self._out.write(b"X\n")
@@ -603,7 +574,7 @@ class _RdsWriter:
                 is_obj: bool = False) -> None:
         arr = np.asarray(arr, np.int32).ravel()
         self._flags(INTSXP, has_attr=bool(attr_pairs), is_obj=is_obj)
-        self.wi(arr.size)
+        self.wlen(arr.size)
         self._out.write(arr.astype(">i4").tobytes())
         if attr_pairs:
             self.attrs(attr_pairs)
@@ -611,7 +582,7 @@ class _RdsWriter:
     def real_vec(self, arr, attr_pairs: Optional[List] = None) -> None:
         arr = np.asarray(arr, np.float64).ravel()
         self._flags(REALSXP, has_attr=bool(attr_pairs))
-        self.wi(arr.size)
+        self.wlen(arr.size)
         self._out.write(arr.astype(">f8").tobytes())
         if attr_pairs:
             self.attrs(attr_pairs)
@@ -619,7 +590,7 @@ class _RdsWriter:
     def lgl_vec(self, arr, attr_pairs: Optional[List] = None) -> None:
         arr = np.asarray(arr, bool).ravel()
         self._flags(LGLSXP, has_attr=bool(attr_pairs))
-        self.wi(arr.size)
+        self.wlen(arr.size)
         self._out.write(arr.astype(">i4").tobytes())
         if attr_pairs:
             self.attrs(attr_pairs)
@@ -627,7 +598,7 @@ class _RdsWriter:
     def str_vec(self, strs: List[str], attr_pairs: Optional[List] = None,
                 is_obj: bool = False) -> None:
         self._flags(STRSXP, has_attr=bool(attr_pairs), is_obj=is_obj)
-        self.wi(len(strs))
+        self.wlen(len(strs))
         for s in strs:
             self.charsxp(s)
         if attr_pairs:
@@ -636,7 +607,7 @@ class _RdsWriter:
     def vec_list(self, items: List[Any], attr_pairs: Optional[List] = None,
                  is_obj: bool = False) -> None:
         self._flags(VECSXP, has_attr=bool(attr_pairs), is_obj=is_obj)
-        self.wi(len(items))
+        self.wlen(len(items))
         for it in items:
             self.value(it)
         if attr_pairs:
@@ -660,7 +631,7 @@ class _RdsWriter:
                   RString([str(s) for s in colnames]) if colnames is not None else RNull()]
             pairs.append(("dimnames", dn))
         self._flags(REALSXP, has_attr=True)
-        self.wi(mat.size)
+        self.wlen(mat.size)
         self._out.write(np.asarray(mat, ">f8").tobytes(order="F"))
         self.attrs(pairs)
 

@@ -135,25 +135,32 @@ def mask_non_DE_genes_basic(obj: InferCNV, p_val_thresh: float = 0.05,
     all_results = get_DE_genes_basic(obj, p_val_thresh, test_use)
 
     num_normals = len(obj.ref_groups)
-    C, G = obj.expr.shape
-    de_count = np.zeros((C, G), np.int32)
-    de_count[obj.all_ref_idx()] = num_normals  # normals always retained
-    for res in all_results:
-        if res["tumor_indices"].size < min_cluster_size_mask:
-            de_count[res["tumor_indices"]] = num_normals
     gene_names = np.array(obj.gene_order.names)
+    # per-CLUSTER gene counts: every cell in a tumor cluster shares the
+    # same DE profile, so a [n_clusters, G] count table replaces the old
+    # dense [C, G] int32 matrix (+ a second full np.where copy) — ~8 GB of
+    # avoided writes at 100k cells
+    cluster_counts: dict = {}
     for res in all_results:
-        if res["tumor_indices"].size < min_cluster_size_mask:
+        idx = res["tumor_indices"]
+        if idx.size < min_cluster_size_mask:
             continue
-        gmask = np.isin(gene_names, list(res["de_genes"]))
-        de_count[np.ix_(res["tumor_indices"], gmask)] += 1
+        key = idx.tobytes()
+        if key not in cluster_counts:
+            cluster_counts[key] = (idx, np.zeros(gene_names.size, np.int32))
+        cluster_counts[key][1][np.isin(gene_names, list(res["de_genes"]))] += 1
 
-    if require_DE_all_normals == "all":
-        mask = de_count != num_normals
-    elif require_DE_all_normals == "most":
-        mask = de_count < num_normals / 2.0
-    elif require_DE_all_normals == "any":
-        mask = de_count == 0
-    else:
-        raise ValueError(f"unrecognized require_DE_all_normals {require_DE_all_normals!r}")
-    obj.expr = np.where(mask, np.float32(center_val), obj.expr)
+    if require_DE_all_normals not in ("all", "most", "any"):
+        raise ValueError(
+            f"unrecognized require_DE_all_normals {require_DE_all_normals!r}")
+    expr = obj.expr.copy()  # rebind-only discipline: never mutate shared
+    for idx, counts in cluster_counts.values():
+        if require_DE_all_normals == "all":
+            gcols = counts != num_normals
+        elif require_DE_all_normals == "most":
+            gcols = counts < num_normals / 2.0
+        else:  # "any"
+            gcols = counts == 0
+        if gcols.any():
+            expr[np.ix_(idx, np.nonzero(gcols)[0])] = np.float32(center_val)
+    obj.expr = expr

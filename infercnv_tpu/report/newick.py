@@ -12,6 +12,16 @@ from typing import Sequence
 import numpy as np
 
 
+def _sanitize(label: str) -> str:
+    """Newick-reserved characters in leaf labels -> '_' (space, comma,
+    colon, parentheses, semicolon, quotes) — one rule for every writer."""
+    out = label
+    for ch in ' ,:();\'"':
+        out = out.replace(ch, "_")
+    return out
+
+
+
 def linkage_to_newick(Z: np.ndarray, labels: Sequence[str]) -> str:
     """Convert a scipy linkage matrix to a newick string with branch lengths
     derived from merge heights (leaf at height 0)."""
@@ -27,7 +37,7 @@ def linkage_to_newick(Z: np.ndarray, labels: Sequence[str]) -> str:
 
     def rec(node) -> str:
         if node < n:
-            return labels[node].replace(" ", "_").replace(",", "_")
+            return _sanitize(labels[node])
         a, b = children[node]
         la = heights[node] - heights[a]
         lb = heights[node] - heights[b]
@@ -44,7 +54,7 @@ def merged_group_newick(group_linkages: dict, group_labels: dict) -> str:
     for g, Z in group_linkages.items():
         labels = group_labels[g]
         if Z is None or len(labels) < 2:
-            parts.extend(l.replace(" ", "_") for l in labels)
+            parts.extend(_sanitize(l) for l in labels)
         else:
             parts.append(linkage_to_newick(Z, labels)[:-1])  # strip ';'
     return "(" + ",".join(parts) + ");"

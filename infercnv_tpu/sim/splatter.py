@@ -61,7 +61,9 @@ def estimate_splatter_params(counts_gc: np.ndarray,
     counts_gc = np.asarray(counts_gc, np.float64)
     lib_sizes = counts_gc.sum(axis=0)
     lib_med = np.median(lib_sizes)
-    norm = counts_gc / lib_sizes[None, :] * lib_med
+    # one all-zero cell would make every normalized value NaN (0/0) and
+    # poison each estimated parameter downstream
+    norm = counts_gc / np.maximum(lib_sizes, 1.0)[None, :] * lib_med
     norm = norm[(norm > 0).sum(axis=1) > 1]
 
     # gamma fit of winsorized means (.splatEstMean :53-74); scipy MLE ~ the
@@ -84,7 +86,10 @@ def estimate_splatter_params(counts_gc: np.ndarray,
         p_norm = 0.0
     p.lib_norm = bool(p_norm > 0.2)
     if p.lib_norm:
-        p.lib_loc, p.lib_scale = float(samp.mean()), float(samp.std(ddof=1))
+        # fit on ALL library sizes; the 5000-cell subsample exists only for
+        # the Shapiro test (reference .splatEstLib does the same)
+        p.lib_loc, p.lib_scale = float(lib_sizes.mean()), \
+            float(lib_sizes.std(ddof=1))
         log_warn("library sizes found normally distributed instead of log-normal")
     else:
         logs = np.log(lib_sizes[lib_sizes > 0])
@@ -165,7 +170,10 @@ def simulate_splatter_counts(key: jax.Array, params: SplatterParams,
     bcv = (params.bcv_common + 1.0 / jnp.sqrt(jnp.maximum(base_cell_means, 1e-8))) \
         * jnp.sqrt(params.bcv_df / chi)[None, :]
     shape = 1.0 / (bcv ** 2)
-    cell_means = jax.random.gamma(k_gam, shape) * (base_cell_means * bcv ** 2)
+    # independent key: reusing k_gam (already consumed by the base gene
+    # means) would correlate the BCV noise with the mean draws
+    k_bcv = jax.random.fold_in(k_gam, 1)
+    cell_means = jax.random.gamma(k_bcv, shape) * (base_cell_means * bcv ** 2)
 
     counts = jax.random.poisson(k_pois, cell_means).astype(jnp.float32)
 

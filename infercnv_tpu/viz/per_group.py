@@ -200,7 +200,7 @@ def sample_object(obj: InferCNV, n_cells: Optional[int] = 100,
     names = [n for _, n in picked]
     new_obj = InferCNV(
         expr=obj.expr[src],
-        counts=obj.counts[src] if obj.counts.shape == obj.expr.shape else obj.counts,
+        counts=obj.counts[src],  # cells always subset (gene axes may differ)
         gene_order=obj.gene_order,
         cell_names=names,
         ref_groups=new_groups_ref,
