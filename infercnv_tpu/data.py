@@ -16,6 +16,10 @@ def synthetic_example(seed: int = 7, n_normal: int = 30, n_tumor: int = 30,
     """Small synthetic dataset with a planted chr2 deletion and chr3
     amplification in the tumor cells — the quick-start analogue of
     infercnv_data_example."""
+    if n_chr < 3:
+        raise ValueError("synthetic_example plants CNVs on chr2 and chr3; "
+                         "n_chr must be >= 3 (the slices would silently "
+                         "fall out of range otherwise)")
     rng = np.random.default_rng(seed)
     G = genes_per_chr * n_chr
     base = rng.gamma(2.0, 50.0, G)

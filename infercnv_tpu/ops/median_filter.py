@@ -14,11 +14,39 @@ from typing import Optional
 import numpy as np
 
 from infercnv_tpu.core.object import InferCNV
-from infercnv_tpu.utils.logging import log_error
 
 
-def _median_filter_block(data: np.ndarray, window_size: int) -> np.ndarray:
-    """data: [G_chr, n_cells] (genes x cells, reference orientation)."""
+def _median_filter_block(data: np.ndarray, window_size: int,
+                         max_plane_elems: int = 20_000_000) -> np.ndarray:
+    """data: [G_chr, n_cells] (genes x cells, reference orientation).
+
+    The (2r+1)^2 shifted planes are built over CELL-AXIS CHUNKS with an
+    r-wide halo, so peak memory is O(W^2 * G_chr * chunk) instead of
+    O(W^2 * G_chr * n_cells) — at window 7 the unchunked stack is 81 full
+    float64 copies of the block (~65 GB for a 50k-cell group)."""
+    half = (window_size - 1) // 2
+    r = half + 1
+    xdim, ydim = data.shape
+    W = 2 * r + 1
+    chunk = max(W, max_plane_elems // max(W * W * xdim, 1))
+    if ydim > chunk:
+        out = np.empty_like(data, dtype=np.float64)
+        for c0 in range(0, ydim, chunk):
+            c1 = min(c0 + chunk, ydim)
+            # the reference edge rule is exactly "clamp [pos-r, pos+r] to
+            # the array", so an r-wide halo slab reproduces the full
+            # computation for its kept columns: interior kept positions
+            # never touch the slab edge, and slabs at the true edges clamp
+            # identically to the global rule
+            h0 = max(0, c0 - r)
+            h1 = min(ydim, c1 + r)
+            sub = _median_filter_block_core(data[:, h0:h1], window_size)
+            out[:, c0:c1] = sub[:, c0 - h0:c1 - h0]
+        return out
+    return _median_filter_block_core(data, window_size)
+
+
+def _median_filter_block_core(data: np.ndarray, window_size: int) -> np.ndarray:
     half = (window_size - 1) // 2
     r = half + 1
     xdim, ydim = data.shape
@@ -55,9 +83,10 @@ def apply_median_filtering(obj: InferCNV, window_size: int = 7,
                            on_observations: bool = True,
                            on_references: bool = True) -> InferCNV:
     """In-place median filtering per (subcluster|ref group) x chromosome."""
-    if window_size % 2 != 1 or window_size < 2:
-        log_error("window_size must be an odd number >= 3")
-        return obj
+    if window_size % 2 != 1 or window_size < 3:
+        # the reference stop()s here (noise_reduction.R:52-54); silently
+        # returning unfiltered data as "median filtered" is worse
+        raise ValueError("window_size must be an odd number >= 3")
 
     blocks = []
     if on_observations:

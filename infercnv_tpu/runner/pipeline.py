@@ -703,7 +703,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 from infercnv_tpu.viz.subclusters import plot_subclusters
 
                 plot_subclusters(obj, out_dir=cfg.out_dir,
-                                 output_filename="infercnv_subclusters")
+                                 output_filename="infercnv_subclusters",
+                                 png_res=cfg.png_res,
+                                 output_format=cfg.output_format,
+                                 hclust_method=cfg.plot_hclust_method,
+                                 max_pane_rows=2000 if cfg.useRaster else 10**9)
         elif cfg.analysis_mode != "subclusters":
             log_info("STEP 15: Clustering samples (not defining tumor subclusters)")
             define_tumor_subclusters(

@@ -74,12 +74,18 @@ def fit_smoothing_spline(x, y, w: Optional[np.ndarray] = None,
     """
     x = np.asarray(x, np.float64).ravel()
     y = np.asarray(y, np.float64).ravel()
-    ok = np.isfinite(x) & np.isfinite(y)
-    x, y = x[ok], y[ok]
     if w is None:
         w = np.ones_like(x)
     else:
-        w = np.asarray(w, np.float64).ravel()[ok]
+        w = np.asarray(w, np.float64).ravel()
+    # drop non-finite AND zero/negative-weight points (a zero total weight
+    # at one unique x would 0/0-NaN the tie collapse and poison every
+    # coefficient)
+    ok = np.isfinite(x) & np.isfinite(y) & np.isfinite(w) & (w > 0)
+    x, y, w = x[ok], y[ok], w[ok]
+    if x.size == 0:
+        raise ValueError("fit_smoothing_spline: no finite positively-"
+                         "weighted (x, y) points to fit")
     order = np.argsort(x, kind="stable")
     x, y, w = x[order], y[order], w[order]
     # collapse ties
@@ -89,10 +95,23 @@ def fit_smoothing_spline(x, y, w: Optional[np.ndarray] = None,
     x, y, w = ux, ywmean, wsum
     n = x.size
     if n < 4:
-        # degenerate: constant/linear fit via padded knots on tiny data
-        xm, ym = float(x.mean()), float(y.mean())
-        knots = np.r_[[x[0]] * 4, [x[-1] + 1e-9] * 4]
-        coef = np.full(4, ym)
+        # degenerate tiny data: weighted LINEAR least squares (constant
+        # when a single unique x) — a flat mean would silently erase a
+        # perfect linear trend; R's smooth.spline refuses n<4 outright
+        if n == 1:
+            slope, icept = 0.0, float(y[0])
+        else:
+            xm = float(np.average(x, weights=w))
+            ym = float(np.average(y, weights=w))
+            den = float(np.sum(w * (x - xm) ** 2))
+            slope = float(np.sum(w * (x - xm) * (y - ym)) / den) if den > 0 else 0.0
+            icept = ym - slope * xm
+        span = max(float(x[-1] - x[0]), 1e-9)
+        knots = np.r_[[x[0]] * 4, [x[0] + span] * 4]
+        # a degree-3 B-spline on one span with coefficients on the line
+        # reproduces the line exactly (Greville abscissae)
+        grev = x[0] + span * np.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0])
+        coef = icept + slope * grev
         return SmoothingSpline(knots, coef, float(x[0]), float(x[-1]), 0.0)
 
     K = nknots or _nknots(n)

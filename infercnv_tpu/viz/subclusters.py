@@ -16,7 +16,11 @@ from infercnv_tpu.viz.heatmap import plot_cnv
 
 
 def plot_subclusters(obj: InferCNV, out_dir: str,
-                     output_filename: str = "subcluster_as_annotations"):
+                     output_filename: str = "subcluster_as_annotations",
+                     **plot_kwargs):
+    """plot_kwargs pass through to plot_cnv (png_res, output_format,
+    hclust_method, max_pane_rows, ...) so the inspection plot matches the
+    run's other heatmaps."""
     if obj.tumor_subclusters is None:
         return None
     ref_names = set(obj.ref_groups)
@@ -32,4 +36,5 @@ def plot_subclusters(obj: InferCNV, out_dir: str,
         ref_groups=new_ref, obs_groups=new_obs,
     )
     return plot_cnv(sub_obj, out_dir=out_dir, output_filename=output_filename,
-                    title="subclusters", cluster_by_groups=True)
+                    title="subclusters", cluster_by_groups=True,
+                    **plot_kwargs)
