@@ -247,3 +247,52 @@ def test_sample_object_exact_count_with_many_subclusters(rng):
     # more subclusters than target: plain sampling, still exact
     out2 = sample_object(obj, n_cells=30, on_references=False)
     assert out2.obs_groups["tumor"].size == 30
+
+
+def test_median_filter_chunked_equals_full(rng):
+    """The halo-chunked cell-axis streaming path is exact (memory fix for
+    the (2r+1)^2 plane stack)."""
+    from infercnv_tpu.ops.median_filter import (
+        _median_filter_block,
+        _median_filter_block_core,
+    )
+
+    data = rng.normal(size=(40, 300))
+    full = _median_filter_block_core(data, 7)
+    chunked = _median_filter_block(data, 7, max_plane_elems=40 * 49 * 30)
+    np.testing.assert_array_equal(full, chunked)
+
+
+def test_median_filter_invalid_window_raises(rng):
+    from infercnv_tpu.ops.median_filter import apply_median_filtering
+
+    obj = _small_obj(rng)
+    with pytest.raises(ValueError):
+        apply_median_filtering(obj, window_size=4)
+
+
+def test_smoothing_spline_edge_cases():
+    """Zero-weight points are dropped (no NaN poisoning), tiny data gets a
+    weighted LINEAR fit, and empty input raises clearly."""
+    from infercnv_tpu.utils.splines import fit_smoothing_spline
+
+    sp = fit_smoothing_spline(np.array([0., 1, 2, 3, 4]),
+                              np.array([0., 1, 2, 3, 4]),
+                              w=np.array([1., 1, 0, 1, 1]))
+    assert np.isfinite(sp.predict(np.array([2.0]))).all()
+    sp2 = fit_smoothing_spline(np.array([0., 0, 1, 1, 2, 2]),
+                               np.array([0., 1, 2, 3, 4, 5]))
+    np.testing.assert_allclose(sp2.predict(np.array([0., 1, 2])),
+                               [0.5, 2.5, 4.5], atol=1e-9)
+    with pytest.raises(ValueError):
+        fit_smoothing_spline(np.array([np.nan]), np.array([np.nan]))
+
+
+def test_newick_sanitizes_reserved_characters():
+    from infercnv_tpu.report.newick import linkage_to_newick
+    from scipy.cluster import hierarchy
+
+    Z = hierarchy.linkage(np.array([[0.0], [1.0], [5.0]]), method="ward")
+    nwk = linkage_to_newick(Z, ["a,b", "c:d", "e (f)"])
+    # reserved characters never appear inside labels
+    assert "a_b" in nwk and "c_d" in nwk and "e__f_" in nwk
