@@ -533,8 +533,10 @@ class _RdsWriter:
             self.wi(n)
         else:
             self.wi(-1)
-            self.wi((n >> 32) & 0xFFFFFFFF)
-            self.wi(n & 0xFFFFFFFF)
+            # the halves are raw unsigned 32-bit words: a low half in
+            # [2^31, 2^32) would overflow struct.pack('>i')
+            self._out.write(struct.pack(">I", (n >> 32) & 0xFFFFFFFF))
+            self._out.write(struct.pack(">I", n & 0xFFFFFFFF))
 
     def header(self) -> None:
         self._out.write(b"X\n")

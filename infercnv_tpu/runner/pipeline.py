@@ -261,6 +261,7 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         resid_bytes = 2.2 * obj.num_cells * obj.num_genes * 4
         keep_device = (cfg.analysis_mode == "subclusters"
                        and cfg.tumor_subcluster_partition_method == "leiden"
+                       and not cfg.per_chr_hmm_subclusters
                        and mesh is None
                        and resid_bytes < 11e9)
         device_chunks = [] if keep_device else None

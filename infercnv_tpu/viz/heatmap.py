@@ -672,8 +672,16 @@ def plot_cnv(
     kax.imshow(grad, aspect="auto", cmap=cmap, norm=norm,
                extent=(lo, hi, 0.0, 1.0))
     hist_src = expr if exact_stats else _value_sample()
+    hist_w = None
+    if rows_kg is not None:
+        # factorized panes: weight each group row by its cell count, so the
+        # density curve reflects the plotted [C, G] distribution, not one
+        # vote per subcluster row
+        w = np.bincount(cell_to_row,
+                        minlength=rows_kg.shape[0]).astype(np.float64)
+        hist_w = np.broadcast_to(w[:, None], rows_kg.shape)
     counts, edges = np.histogram(np.clip(hist_src, lo, hi), bins=50,
-                                 range=(lo, hi))
+                                 range=(lo, hi), weights=hist_w)
     if counts.max() > 0:
         dens = counts / counts.max()
         kax.plot((edges[:-1] + edges[1:]) / 2, dens, color="cyan", lw=0.7)

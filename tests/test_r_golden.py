@@ -385,3 +385,27 @@ def test_written_rds_has_s4_object_bit(tmp_path):
     raw = gzip.open(p, "rb").read()
     flags = struct.unpack(">i", raw[14:18])[0]
     assert flags & (16 << 12), hex(flags)
+
+
+def test_wlen_long_vector_halves_are_unsigned():
+    """R long-vector lengths whose low (or high) 32-bit half lands in
+    [2^31, 2^32) must serialize as unsigned words; struct.pack('>i')
+    raises there (advisor r4).  Tested on wlen in isolation — no need to
+    allocate >2^31 elements."""
+    import struct
+
+    from infercnv_tpu.io.rds import _RdsWriter
+
+    for n in (0x7FFFFFFF + 1,          # low half exactly 2^31
+              0xFFFFFFFF,              # low half 2^32-1
+              (0x9ABCDEF0 << 32) | 0xDEADBEEF):  # both halves >= 2^31
+        w = _RdsWriter()
+        w.wlen(n)
+        raw = w._out.getvalue()
+        marker, hi, lo = struct.unpack(">iII", raw)
+        assert marker == -1
+        assert ((hi << 32) | lo) == n
+    # short lengths stay a single signed int
+    w = _RdsWriter()
+    w.wlen(123)
+    assert struct.unpack(">i", w._out.getvalue()) == (123,)
