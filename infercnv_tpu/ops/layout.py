@@ -139,6 +139,20 @@ class BandedGeneOperator:
         self._shifted = w
         return w
 
+    def stacked_blocks(self) -> np.ndarray:
+        """K=384 ALIGNED weight layout for the fused residual band kernel.
+
+        w[j] vertically stacks the s = -1, 0, +1 blocks of output tile j:
+        y[:, tile j] = xpad128[:, j*128 : j*128+384] @ w[j], where xpad128
+        holds x at a 128-lane offset with zero tiles on both sides — every
+        VMEM slice lands on a 128-lane boundary (the half-shifted K=256
+        form needs 64-offset windows, which Mosaic handles poorly inside a
+        kernel).  Valid whenever side_tiles == 1 (halfband <= 128)."""
+        if self.side_tiles != 1:
+            raise ValueError("stacked layout requires side_tiles == 1")
+        return np.concatenate([self.blocks[0], self.blocks[1],
+                               self.blocks[2]], axis=1)  # [T, 384, 128]
+
     def apply_np(self, x: np.ndarray) -> np.ndarray:
         """Reference application on host ([C, G] float64) for tests."""
         C = x.shape[0]

@@ -49,6 +49,10 @@ class EngineConfig:
     #: multiply, f32 accumulate) instead of the 6-pass f32 emulation —
     #: ~0.1% relative error, so the f32 default stays the parity path
     matmul_dtype: str = "float32"
+    #: radix digits per pass of the exact median select inside the fused
+    #: residual kernel (result is exact for any value; 1 measured fastest
+    #: on v5e — fewer VPU compare+reduce sweeps than 2)
+    median_radix_bits: int = 1
 
 
 class CnvEngine:
@@ -101,6 +105,14 @@ class CnvEngine:
         self._w_shifted = (jnp.asarray(op.shifted_blocks())
                            if op.side_tiles == 1 and op.halfband <= 64
                            else None)
+        # K=384 aligned stack for the single-kernel fused residual pass
+        # (ops/residual_fused.py): counts -> residual in one HBM round-trip
+        self._w_stacked = None
+        if op.side_tiles == 1:
+            from infercnv_tpu.ops.residual_fused import _pick_tile_r
+
+            if _pick_tile_r(op.n_tiles * 128) > 0:
+                self._w_stacked = jnp.asarray(op.stacked_blocks())
         # chromosome bin-packing + unpack map (shared with models/hmm.py —
         # ops/viterbi_pack.py is the single Viterbi implementation)
         self._layout = PackedLayout.from_gene_order(gene_order)
@@ -199,6 +211,31 @@ class CnvEngine:
         )
 
         counts = jnp.asarray(counts).astype(jnp.float32)  # u16/raw inputs OK
+        if self.use_pallas and self._w_stacked is not None:
+            # the WHOLE pass as one band kernel: normalize+log2, bounds
+            # subtract, clip, banded smooth, exact median, bounds, exp2 —
+            # one HBM read + one write (see ops/residual_fused.py).  The
+            # where-form bounds subtraction with min == max == mean is
+            # bit-identical to x - mean, so the non-bounds config rides
+            # the same kernel.
+            from infercnv_tpu.ops.residual_fused import residual_fused_pallas
+
+            n_tiles, _side, num_genes = self._op_meta
+            if cfg.ref_subtract_use_bounds:
+                b1min = jnp.min(ref_means_log, axis=0)
+                b1max = jnp.max(ref_means_log, axis=0)
+                b2min = jnp.min(ref_means_resid, axis=0)
+                b2max = jnp.max(ref_means_resid, axis=0)
+            else:
+                b1min = b1max = jnp.mean(ref_means_log, axis=0)
+                b2min = b2max = jnp.mean(ref_means_resid, axis=0)
+            return residual_fused_pallas(
+                counts, self._w_stacked, b1min, b1max, b2min, b2max,
+                norm_factor, n_tiles, num_genes,
+                D=cfg.median_radix_bits, mct=cfg.max_centered_threshold,
+                center_mean=(cfg.center_method != "median"),
+                matmul_dtype=cfg.matmul_dtype,
+                interpret=self._pallas_interpret)
         cs = jnp.sum(counts, axis=1, keepdims=True)
         x = jnp.log2(counts / cs * norm_factor + 1.0)
         x = self._subtract(x, ref_means_log)

@@ -700,6 +700,11 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
             )
             del _dev_chunks  # release the device-resident residual copy
             timer_ctx.__exit__(None, None, None)
+            from infercnv_tpu.subcluster.partition import PHASE_TIMES
+
+            for ph, sec in sorted(PHASE_TIMES.items(), key=lambda kv: -kv[1]):
+                timer.records.append({"step": f"15_subclusters.{ph}",
+                                      "seconds": round(sec, 4)})
             if cfg.inspect_subclusters and not cfg.no_plot:
                 from infercnv_tpu.viz.subclusters import plot_subclusters
 

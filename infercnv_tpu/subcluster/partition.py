@@ -14,6 +14,7 @@ ordering/cuts).
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -39,6 +40,21 @@ from infercnv_tpu.utils.logging import log_info, log_warn
 #: already provide).  The reference has no such guard and simply cannot
 #: reach this scale (parallelDist + hclust, inferCNV_tumor_subclusters.R:582).
 LINKAGE_MAX_CELLS = 8000
+
+
+#: Cumulative per-phase wall seconds of the LAST define_tumor_subclusters
+#: call (z_filter / gene_filter / slice / pca / knn / snn / leiden /
+#: linkage) — the step-15 black box VERDICT r4 flagged.  The pipeline
+#: copies this into step_timings as `15_subclusters.<phase>` rows.
+PHASE_TIMES: Dict[str, float] = {}
+
+
+def _phase(name: str, t0: float, sync=None) -> None:
+    """Accumulate a phase timing; device results are synced first so async
+    dispatch doesn't attribute a phase's compute to its successor."""
+    if sync is not None and hasattr(sync, "block_until_ready"):
+        sync.block_until_ready()
+    PHASE_TIMES[name] = PHASE_TIMES.get(name, 0.0) + (time.perf_counter() - t0)
 
 
 def ward_linkage(x_cg: np.ndarray) -> np.ndarray:
@@ -99,15 +115,28 @@ def _leiden_partition(
     n = expr_sub.shape[0]
     res = auto_resolution(n) if resolution == "auto" else float(resolution)
     if method == "PCA":
+        t0 = time.perf_counter()
         emb = pca_embed(expr_sub, n_components=10)
+        _phase("pca", t0, sync=emb)
+        t0 = time.perf_counter()
         nn = np.asarray(knn_indices(emb, min(k_nn, n)))
+        _phase("knn", t0)
+        t0 = time.perf_counter()
         A = snn_graph(nn, n)
         if A.nnz == 0:
             A = knn_graph(nn, n, mode="undirected")
+        _phase("snn", t0)
     else:
+        t0 = time.perf_counter()
         nn = np.asarray(knn_indices(expr_sub, min(k_nn, n)))
+        _phase("knn", t0)
+        t0 = time.perf_counter()
         A = knn_graph(nn, n, mode="undirected")
-    return leiden(A, res, objective=objective, seed=seed)
+        _phase("snn", t0)
+    t0 = time.perf_counter()
+    part = leiden(A, res, objective=objective, seed=seed)
+    _phase("leiden", t0)
+    return part
 
 
 def _device_mean_profiles(device_rows, subclusters: Dict[str, np.ndarray],
@@ -163,6 +192,7 @@ def _single_tumor_leiden_subclustering(
     order = labels[np.argsort(-counts, kind="stable")]
     for lab in order:
         subclusters[f"{group_name}_s{lab + 1}"] = group_idx[part == lab]
+    t0 = time.perf_counter()
     if expr_sub is not None:
         Z = _group_linkage_scalable(expr_sub, subclusters, group_idx)
     else:
@@ -170,6 +200,7 @@ def _single_tumor_leiden_subclustering(
         log_info(f"-group of {n} cells: dendrogram over "
                  f"{profiles.shape[0]} device-computed subcluster profiles")
         Z = ward_linkage(profiles) if profiles.shape[0] >= 2 else None
+    _phase("linkage", t0)
     return Z, subclusters
 
 
@@ -362,6 +393,7 @@ def define_tumor_subclusters(
     programs).
     """
     log_info(f"define_tumor_subclusters(p_val={p_val}, method={partition_method})")
+    PHASE_TIMES.clear()
     if cluster_by_groups:
         tumor_groups: Dict[str, np.ndarray] = {**{k: np.asarray(v) for k, v in obj.obs_groups.items()},
                                                **{k: np.asarray(v) for k, v in obj.ref_groups.items()}}
@@ -384,11 +416,14 @@ def define_tumor_subclusters(
         expr = np.asarray(T.subtract_ref_expr(obj.expr, means, use_bounds=True))
         keep_genes = np.arange(obj.num_genes)
     else:
+        t0 = time.perf_counter()
         keep_genes = zscore_gene_filter(obj, z_score_filter)
+        _phase("z_filter", t0)
         expr = None
         use_device = (device_chunks is not None and partition_method == "leiden"
                       and not per_chr_hmm_subclusters)
         dexpr = None
+        t0 = time.perf_counter()
         if use_device:
             import jax.numpy as jnp
 
@@ -396,22 +431,27 @@ def define_tumor_subclusters(
             dexpr = jnp.concatenate(
                 [jnp.take(r[:nb], kg, axis=1) for (_b, nb, r) in device_chunks],
                 axis=0)
+            _phase("gene_filter", t0, sync=dexpr)
         else:
             expr = obj.expr[:, keep_genes]
+            _phase("gene_filter", t0)
 
     res: Dict[str, dict] = {"hc": {}, "subclusters": {}}
     rng = np.random.default_rng(seed)
     for gi, (group, idx) in enumerate(tumor_groups.items()):
         log_info(f"define_tumor_subclusters(), tumor: {group}")
+        t0 = time.perf_counter()
         if partition_method != "random_trees" and expr is None:
             # device route: host rows only for groups small enough to get
             # a per-cell dendrogram
             device_rows = jnp.take(dexpr, jnp.asarray(idx), axis=0)
             sub_expr = (obj.expr[idx][:, keep_genes]
                         if idx.size <= LINKAGE_MAX_CELLS else None)
+            _phase("slice", t0, sync=device_rows)
         else:
             device_rows = None
             sub_expr = expr[idx]
+            _phase("slice", t0)
         if partition_method == "leiden":
             Z, subclusters = _single_tumor_leiden_subclustering(
                 group, idx, sub_expr, k_nn, leiden_resolution, leiden_method,
@@ -463,8 +503,15 @@ def define_tumor_subclusters(
                 chr_map.update({k: np.asarray(v) for k, v in obj.ref_groups.items()})
             subclusters_per_chr[cname] = chr_map
 
+    if PHASE_TIMES:
+        log_info("-subcluster phases: " + " ".join(
+            f"{k}={v:.1f}s" for k, v in sorted(PHASE_TIMES.items(),
+                                               key=lambda kv: -kv[1])))
     if obj.hspike is not None:
         log_info("-mirroring subclusters for hspike (partition_method='none')")
+        phases = dict(PHASE_TIMES)  # the recursive call clears the registry
         define_tumor_subclusters(obj.hspike, cluster_by_groups=True,
                                  partition_method="none", z_score_filter=0.0)
+        PHASE_TIMES.clear()
+        PHASE_TIMES.update(phases)
     return subclusters_per_chr

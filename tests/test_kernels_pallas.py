@@ -182,3 +182,60 @@ def test_engine_fused_pallas_residual_matches_xla(rng):
     r_xla = np.asarray(e_xla.transform_chunk(counts, nf, ml, mr))
     r_pal = np.asarray(e_pal.transform_chunk(counts, nf, ml, mr))
     np.testing.assert_allclose(r_pal, r_xla, rtol=2e-5, atol=2e-5)
+
+
+def test_residual_band_kernel_all_configs(rng):
+    """The single-kernel fused residual pass (ops/residual_fused.py)
+    matches the unfused XLA path across the config matrix it claims:
+    bounds/mean subtraction x median/mean centering x radix digits x
+    odd/even gene counts."""
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    hmm = HMMParams(means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+                    sds=np.full(6, 0.15), t=1e-6)
+    for lens in ([200, 90, 51], [150, 150]):   # odd and even num_genes
+        go = _gene_order(lens)
+        gm = rng.gamma(2.0, 30.0, go.num_genes).astype(np.float32)
+        counts = rng.poisson(gm[None, :], (40, go.num_genes)).astype(np.float32)
+        refc = rng.poisson(gm[None, :], (24, go.num_genes)).astype(np.float32)
+        nf = float(np.median(counts.sum(axis=1)))
+        for use_bounds in (True, False):
+            for center in ("median", "mean"):
+                for D in (1, 2):
+                    cfg = EngineConfig(denoise=False,
+                                       ref_subtract_use_bounds=use_bounds,
+                                       center_method=center,
+                                       median_radix_bits=D)
+                    e_pal = CnvEngine(go, hmm, cfg, use_pallas=True)
+                    e_xla = CnvEngine(go, hmm, cfg, use_pallas=False)
+                    assert e_pal._w_stacked is not None
+                    ml, mr, _ = e_xla.ref_stats(refc, nf)
+                    r_pal = np.asarray(e_pal.transform_chunk(counts, nf, ml, mr))
+                    r_xla = np.asarray(e_xla.transform_chunk(counts, nf, ml, mr))
+                    np.testing.assert_allclose(
+                        r_pal, r_xla, rtol=2e-5, atol=2e-5,
+                        err_msg=f"{lens} bounds={use_bounds} {center} D={D}")
+
+
+def test_residual_band_kernel_multigroup_refs(rng):
+    """K>1 reference groups: the fused kernel's min/max bounds must match
+    the unfused multi-group .subtract_expr semantics."""
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    go = _gene_order([130, 120])
+    hmm = HMMParams(means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+                    sds=np.full(6, 0.15), t=1e-6)
+    gm = rng.gamma(2.0, 30.0, go.num_genes).astype(np.float32)
+    counts = rng.poisson(gm[None, :], (32, go.num_genes)).astype(np.float32)
+    refc = rng.poisson(gm[None, :], (30, go.num_genes)).astype(np.float32)
+    onehot = np.zeros((3, 30), np.float32)
+    onehot[0, :10] = 1; onehot[1, 10:20] = 1; onehot[2, 20:] = 1
+    nf = float(np.median(counts.sum(axis=1)))
+    e_pal = CnvEngine(go, hmm, EngineConfig(denoise=False), use_pallas=True)
+    e_xla = CnvEngine(go, hmm, EngineConfig(denoise=False), use_pallas=False)
+    ml, mr, _ = e_xla.ref_stats(refc, nf, onehot)
+    r_pal = np.asarray(e_pal.transform_chunk(counts, nf, ml, mr))
+    r_xla = np.asarray(e_xla.transform_chunk(counts, nf, ml, mr))
+    np.testing.assert_allclose(r_pal, r_xla, rtol=2e-5, atol=2e-5)
