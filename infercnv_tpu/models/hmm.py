@@ -373,10 +373,11 @@ def viterbi_per_group(
         x_j = jnp.asarray(x_in, jnp.float32)
         sig_j = jnp.asarray(sig_in, jnp.float32)
         if mesh is not None:
-            from infercnv_tpu.parallel.stats import put_cell_sharded
+            from infercnv_tpu.parallel.stats import put_cell_sharded, to_host
 
             x_j = put_cell_sharded(x_j, mesh)
             sig_j = put_cell_sharded(sig_j, mesh)
+            return to_host(fn(x_j, sig_j)).astype(np.int32)[:B]
         states = fn(x_j, sig_j)
         return np.asarray(states, np.int32)[:B]
 

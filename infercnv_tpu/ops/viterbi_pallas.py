@@ -29,7 +29,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-TILE_B = 512  # sequences per kernel instance (lane-dim width; VMEM-bounded)
+#: VMEM budget for picking the lane-tile width.  The kernel's footprint is
+#: ~L * W * (2*4 x + S bp + 2*1 out + 2*1 bnd) bytes; the sequential
+#: forward pass costs (B / W) * L iterations of [S, W] vector work, so the
+#: WIDEST tile that fits VMEM minimizes the dependency-chain length (the
+#: round-4 fixed 512-lane tile left the VPU issue-bound: 29 ms -> see
+#: BENCHMARKS.md round 5 for the widened numbers).
+_VMEM_BUDGET = 80 * 1024 * 1024
+_TILE_B_MAX = 8192
+
+
+def _pick_tile_b(L: int, S: int) -> int:
+    per_lane = L * (2 * 4 + S + 2 * 1 + 2 * 1) + 64
+    cap = _VMEM_BUDGET // per_lane
+    tile = min(_TILE_B_MAX, (cap // LANE) * LANE)
+    return max(tile, LANE)
 
 
 # Chebyshev-derived polynomial of f(z) = -log Phi(-z) on z in [0, 6]
@@ -125,7 +139,7 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
                       jnp.broadcast_to(a_all, (S, W)),
                       jnp.minimum(sidx, jnp.broadcast_to(a_all, (S, W)))),
         ).astype(jnp.int8)
-        bnd = bnd_ref[pl.ds(i, 1), :] > 0.0                    # [1, 128]
+        bnd = bnd_ref[pl.ds(i, 1), :] > 0                      # [1, 128]
         valid = i < lens                                       # [1, 128]
         # segment restart: fresh chain (delta + em); backpointers unused
         # there, so row 0 stores the previous segment's final state
@@ -144,7 +158,7 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
     # or beyond the length are filled during the sweep by carrying y through
     # identity backpointers (padded bp rows were written as identity).
     _, y_last = _max_argmax_s(nu_ref[:, :])                    # [1, 128]
-    out_ref[pl.ds(L - 1, 1), :] = y_last + 1
+    out_ref[pl.ds(L - 1, 1), :] = (y_last + 1).astype(jnp.int8)
 
     def bwd(k, y):                                             # y [1, 128]
         i = L - 2 - k
@@ -153,9 +167,9 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
         # crossing a segment start backwards: position i is the END of the
         # previous segment -> its own argmax, stashed in bp row 0 at i+1
         y_am = bp[0:1, :]
-        bnd = bnd_ref[pl.ds(i + 1, 1), :] > 0.0                # [1, 128]
+        bnd = bnd_ref[pl.ds(i + 1, 1), :] > 0                  # [1, 128]
         y_new = jnp.where(bnd, y_am, y_bp)
-        out_ref[pl.ds(i, 1), :] = y_new + 1
+        out_ref[pl.ds(i, 1), :] = (y_new + 1).astype(jnp.int8)
         return y_new
 
     jax.lax.fori_loop(0, L - 1, bwd, y_last)
@@ -167,7 +181,11 @@ def _viterbi_pallas_call(x_lb, lens, sigma, bnd_lb, means, log_pi_diag,
                          log_pi_off, log_delta, S: int, L: int,
                          interpret: bool = False):
     B = x_lb.shape[1]
-    tile_b = TILE_B if B % TILE_B == 0 else LANE
+    # widest LANE-multiple tile that fits VMEM and divides B (the caller
+    # pads B to a LANE multiple, so this terminates at LANE)
+    tile_b = max(LANE, min(_pick_tile_b(L, S), (B // LANE) * LANE))
+    while B % tile_b:
+        tile_b -= LANE
     n_tiles = B // tile_b
     kernel = functools.partial(
         _viterbi_kernel, S=S, L=L,
@@ -178,9 +196,13 @@ def _viterbi_pallas_call(x_lb, lens, sigma, bnd_lb, means, log_pi_diag,
         params[s_i, :] = m
     for s_i, d in enumerate(log_delta):
         params[8 + s_i, :] = d
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int8),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((L, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -195,8 +217,9 @@ def _viterbi_pallas_call(x_lb, lens, sigma, bnd_lb, means, log_pi_diag,
             pltpu.VMEM((S, tile_b), jnp.float32),
         ],
         interpret=interpret,
+        **kwargs,
     )(x_lb, lens.reshape(1, B), sigma.reshape(1, B), jnp.asarray(params),
-      bnd_lb.astype(jnp.float32))
+      bnd_lb.astype(jnp.int8))
 
 
 def viterbi_pallas(x_bl: np.ndarray, lengths: np.ndarray, sigma: np.ndarray,
@@ -223,7 +246,7 @@ def viterbi_pallas(x_bl: np.ndarray, lengths: np.ndarray, sigma: np.ndarray,
         bnd = jnp.zeros((B, L), jnp.int8)
     else:
         bnd = jnp.asarray(boundaries, jnp.int8)
-    pad = (-B) % TILE_B if B >= TILE_B else (-B) % LANE
+    pad = (-B) % LANE
     if pad:
         x_bl = jnp.pad(x_bl, ((0, pad), (0, 0)))
         bnd = jnp.pad(bnd, ((0, pad), (0, 0)))

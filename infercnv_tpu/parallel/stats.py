@@ -132,6 +132,36 @@ def sharded_quantile(values, q: float, mesh: Mesh):
 
 
 def put_cell_sharded(x, mesh: Mesh):
-    """Place a [C, ...] array with the cell axis sharded over the mesh."""
+    """Place a [C, ...] array with the cell axis sharded over the mesh.
+
+    Works across PROCESS boundaries too: when the mesh spans devices this
+    process cannot address (a jax.distributed multi-host run), the global
+    array is assembled shard-by-shard from the host copy every process
+    holds (make_array_from_callback); single-process meshes keep the
+    direct device_put."""
     spec = P("cells", *([None] * (np.ndim(x) - 1)))
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.device_put(jnp.asarray(x), sharding)
+
+
+def to_host(r) -> np.ndarray:
+    """Materialize a device result on the host, multi-process-safely.
+
+    Single-process (fully addressable) arrays take the plain np.asarray
+    path (bitwise-identical behavior to round 4).  Under jax.distributed,
+    replicated results read the local copy and cell-sharded results are
+    allgathered across processes (gloo on CPU, ICI/DCN on TPU pods) so
+    every host sees the full matrix — the pipeline's host-side steps then
+    run identically on all hosts."""
+    if getattr(r, "is_fully_addressable", True):
+        return np.asarray(r)
+    if r.is_fully_replicated:
+        return np.asarray(r.addressable_shards[0].data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(r, tiled=True))

@@ -24,6 +24,7 @@ from infercnv_tpu.ops.smoothing import (
 from infercnv_tpu.report.regions import generate_cnv_region_reports
 from infercnv_tpu.runner import checkpoint as ckpt
 from infercnv_tpu.runner.config import RunConfig
+from infercnv_tpu.parallel.stats import to_host as _to_host
 from infercnv_tpu.subcluster.partition import define_tumor_subclusters, split_references
 from infercnv_tpu.utils.logging import log_info, log_warn, set_debug
 from infercnv_tpu.utils.profiling import StepTimer
@@ -200,10 +201,14 @@ def _norm_factor(obj: InferCNV, mesh) -> float:
     mesh and single-device runs stay bitwise-equal."""
     libsizes = obj.expr.sum(axis=1)
     if mesh is not None and libsizes.size % mesh.devices.size == 0:
-        from infercnv_tpu.parallel.stats import put_cell_sharded, sharded_median
+        from infercnv_tpu.parallel.stats import (
+            put_cell_sharded,
+            sharded_median,
+            to_host,
+        )
 
-        return float(sharded_median(
-            put_cell_sharded(libsizes.astype(np.float32), mesh), mesh))
+        return float(to_host(sharded_median(
+            put_cell_sharded(libsizes.astype(np.float32), mesh), mesh)))
     return float(np.median(libsizes))
 
 
@@ -284,9 +289,9 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
             pending.append((b, nb, r))
             if len(pending) > 1:
                 b0, n0, r0 = pending.pop(0)
-                out[b0:b0 + n0] = np.asarray(r0)[:n0]
+                out[b0:b0 + n0] = _to_host(r0)[:n0]
         for b0, n0, r0 in pending:
-            out[b0:b0 + n0] = np.asarray(r0)[:n0]
+            out[b0:b0 + n0] = _to_host(r0)[:n0]
         obj.expr = out
         if device_chunks is not None:
             # the residual ALREADY lives on device — keep it for step 15's
