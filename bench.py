@@ -99,10 +99,12 @@ def main():
     gene_means = rng.gamma(2.0, 30.0, G).astype(np.float32)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
+    # raw counts are integers; u16 streams at half the HBM bytes and the
+    # fused residual kernel converts in VMEM (exact: counts < 2^16)
     counts_a = jax.random.poisson(k1, jnp.asarray(gene_means)[None, :] *
-                                  jnp.ones((chunk, 1))).astype(jnp.float32)
+                                  jnp.ones((chunk, 1))).astype(jnp.uint16)
     counts_b = jax.random.poisson(k2, jnp.asarray(gene_means)[None, :] *
-                                  jnp.ones((chunk, 1))).astype(jnp.float32)
+                                  jnp.ones((chunk, 1))).astype(jnp.uint16)
     ref_counts = jax.random.poisson(k3, jnp.asarray(gene_means)[None, :] *
                                     jnp.ones((256, 1))).astype(jnp.float32)
 

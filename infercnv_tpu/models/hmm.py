@@ -208,12 +208,16 @@ def _viterbi_batched(x, mask, means, sigma, log_pi, log_delta, num_states: int):
     S = num_states
 
     def emission(xv, sig):
-        # xv: [B], sig: [B] -> [B, S]
+        # xv: [B], sig: [B] -> [B, S].  The reference normalizes the
+        # pseudo-emission e = 1/(-logsf) over states before taking the log
+        # (:1129-1133); the normalizer log(sum_s e) is CONSTANT across
+        # states at each position, so the Viterbi max-product decisions
+        # are identical without it — it is dropped here (and in the packed
+        # XLA / Pallas implementations, identically) to keep the hot loop
+        # at one transcendental per state.
         z = jnp.abs(xv[:, None] - means[None, :]) / sig[:, None]
         logp = jax.scipy.stats.norm.logsf(z)          # log upper-tail
-        e = 1.0 / (-logp)                             # reference :1129-1133
-        e = e / jnp.sum(e, axis=1, keepdims=True)
-        return jnp.log(e)
+        return -jnp.log(-logp)                        # log(1/(-logp))
 
     em0 = emission(x[:, 0], sigma)
     nu0 = log_delta[None, :] + em0                    # [B, S]

@@ -100,6 +100,13 @@ def _residual_band_kernel(nf_ref, counts_ref, w_ref, b1min_ref, b1max_ref,
     128-gene zero tile each side so every K=384 window is lane-aligned)."""
     nf = nf_ref[0, 0]
     c = counts_ref[:, :]
+    if c.dtype != jnp.float32:
+        # u16/i32 raw counts stream at half the HBM/link bytes; the f32
+        # conversion is exact (counts < 2^24).  Mosaic has no direct
+        # 16-bit->f32 cast, so hop through int32.
+        if c.dtype.itemsize == 2:
+            c = c.astype(jnp.int32)
+        c = c.astype(jnp.float32)
     R, Gp = c.shape
     cs = jnp.sum(c, axis=-1, keepdims=True)
     x = jnp.log2(c / cs * nf + 1.0)
@@ -175,12 +182,18 @@ def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    counts = jnp.asarray(counts, jnp.float32)
+    counts = jnp.asarray(counts)
+    if counts.dtype not in (jnp.float32, jnp.uint16, jnp.int16, jnp.int32,
+                            jnp.uint32):
+        counts = counts.astype(jnp.float32)
     C, G = counts.shape
     Gp = n_tiles * LANE
     tile_r = _pick_tile_r(Gp)
     if tile_r == 0:
         raise ValueError("gene axis too wide for the fused residual kernel")
+    if counts.dtype.itemsize == 2:
+        # 16-bit VMEM tiling is (16, 128): keep the row band a multiple of 16
+        tile_r = max(16, (tile_r // 16) * 16)
     padc = (-C) % tile_r
     cp = jnp.pad(counts, ((0, padc), (0, Gp - G))) \
         if (padc or Gp != G) else counts

@@ -227,7 +227,12 @@ def ref_mean_sd_bounds(x, ref_idx: np.ndarray, sd_amplifier: float = 1.5):
     return mean_ref, np.float32(percell_sd.mean() * sd_amplifier)
 
 
-def clear_noise_via_ref_mean_sd(x, ref_idx: np.ndarray, sd_amplifier: float = 1.5):
+def clear_noise_via_ref_mean_sd(x, ref_idx: np.ndarray, sd_amplifier: float = 1.5,
+                                inplace: bool = False):
+    """inplace=True updates the host matrix block-by-block with no
+    full-size temporaries — the 1M-cell path (a 34 GB residual would
+    otherwise spawn two same-sized temporaries); the caller must own the
+    buffer (run() does: the engine allocated it)."""
     mean_ref, spread = ref_mean_sd_bounds(x, ref_idx, sd_amplifier)
     if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
         inside = (x > mean_ref - spread) & (x < mean_ref + spread)
@@ -235,7 +240,13 @@ def clear_noise_via_ref_mean_sd(x, ref_idx: np.ndarray, sd_amplifier: float = 1.
     # host path: elementwise over the full matrix — never ship it to the
     # device for a compare+select (minutes over a remote-TPU link at 100k)
     x = np.asarray(x, np.float32)
-    inside = (x > mean_ref - spread) & (x < mean_ref + spread)
+    lo, hi = mean_ref - spread, mean_ref + spread
+    if inplace:
+        for b in range(0, x.shape[0], 16384):
+            blk = x[b:b + 16384]
+            blk[(blk > lo) & (blk < hi)] = np.float32(mean_ref)
+        return x
+    inside = (x > lo) & (x < hi)
     return np.where(inside, np.float32(mean_ref), x)
 
 

@@ -178,11 +178,12 @@ def viterbi_packed(resid, layout: PackedLayout, means, sigma_rows,
     bndm = jnp.tile(boundaries != 0, (C, 1)).T  # [L, B]
 
     # all emissions in one fused elementwise pass (no transcendentals
-    # inside the sequential scan): [L, S, B]
+    # inside the sequential scan): [L, S, B].  The reference's per-position
+    # normalizer log(sum_s e) is constant across states, so the Viterbi
+    # decisions are identical without it (see models/hmm.py emission note).
     z = jnp.abs(xl[:, None, :] - means[None, :, None]) / sigma_b[None, None, :]
     logp = jax.scipy.special.log_ndtr(-z)
-    e = 1.0 / (-logp)
-    em_all = jnp.log(e / jnp.sum(e, axis=1, keepdims=True))
+    em_all = -jnp.log(-logp)
 
     nu0 = log_delta[:, None] + em_all[0]            # [S, B]
 

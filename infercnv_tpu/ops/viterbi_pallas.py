@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 #: VMEM budget for picking the lane-tile width.  The kernel's footprint is
-#: ~L * W * (2*4 x + S bp + 2*1 out + 2*1 bnd) bytes; the sequential
+#: ~L * W * (2*4 x + S bp + 2*4 out + 2*4 bnd) bytes; the sequential
 #: forward pass costs (B / W) * L iterations of [S, W] vector work, so the
 #: WIDEST tile that fits VMEM minimizes the dependency-chain length (the
 #: round-4 fixed 512-lane tile left the VPU issue-bound: 29 ms -> see
@@ -40,7 +40,7 @@ _TILE_B_MAX = 8192
 
 
 def _pick_tile_b(L: int, S: int) -> int:
-    per_lane = L * (2 * 4 + S + 2 * 1 + 2 * 1) + 64
+    per_lane = L * (2 * 4 + S + 2 * 4 + 2 * 4) + 64
     cap = _VMEM_BUDGET // per_lane
     tile = min(_TILE_B_MAX, (cap // LANE) * LANE)
     return max(tile, LANE)
@@ -117,10 +117,13 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
         return m, am                        # [1, W], [1, W]
 
     def emission(xrow):                     # xrow [1, W]
+        # unnormalized log pseudo-emission -log(-logsf): the per-position
+        # normalizer is state-constant, so max-product decisions are
+        # identical (see models/hmm.py emission note); this halves the
+        # in-loop transcendental work (no reciprocal/sum/divide)
         z = jnp.abs(xrow - means_arr) / sigma
         logp = _log_sf_std_normal(z)
-        e = 1.0 / (-logp)
-        return jnp.log(e / _sum_s(e))       # [S, W]
+        return -jnp.log(-logp)              # [S, W]
 
     nu_ref[:, :] = log_delta_arr + emission(x_ref[pl.ds(0, 1), :])
     bp_ref[0] = sidx.astype(jnp.int8)
@@ -139,7 +142,7 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
                       jnp.broadcast_to(a_all, (S, W)),
                       jnp.minimum(sidx, jnp.broadcast_to(a_all, (S, W)))),
         ).astype(jnp.int8)
-        bnd = bnd_ref[pl.ds(i, 1), :] > 0                      # [1, 128]
+        bnd = bnd_ref[pl.ds(i, 1), :] > 0.0                    # [1, 128]
         valid = i < lens                                       # [1, 128]
         # segment restart: fresh chain (delta + em); backpointers unused
         # there, so row 0 stores the previous segment's final state
@@ -158,7 +161,7 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
     # or beyond the length are filled during the sweep by carrying y through
     # identity backpointers (padded bp rows were written as identity).
     _, y_last = _max_argmax_s(nu_ref[:, :])                    # [1, 128]
-    out_ref[pl.ds(L - 1, 1), :] = (y_last + 1).astype(jnp.int8)
+    out_ref[pl.ds(L - 1, 1), :] = y_last + 1
 
     def bwd(k, y):                                             # y [1, 128]
         i = L - 2 - k
@@ -167,9 +170,9 @@ def _viterbi_kernel(x_ref, len_ref, sigma_ref, params_ref, bnd_ref, out_ref,
         # crossing a segment start backwards: position i is the END of the
         # previous segment -> its own argmax, stashed in bp row 0 at i+1
         y_am = bp[0:1, :]
-        bnd = bnd_ref[pl.ds(i + 1, 1), :] > 0                  # [1, 128]
+        bnd = bnd_ref[pl.ds(i + 1, 1), :] > 0.0                # [1, 128]
         y_new = jnp.where(bnd, y_am, y_bp)
-        out_ref[pl.ds(i, 1), :] = (y_new + 1).astype(jnp.int8)
+        out_ref[pl.ds(i, 1), :] = y_new + 1
         return y_new
 
     jax.lax.fori_loop(0, L - 1, bwd, y_last)
@@ -202,7 +205,7 @@ def _viterbi_pallas_call(x_lb, lens, sigma, bnd_lb, means, log_pi_diag,
             vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((L, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -219,7 +222,7 @@ def _viterbi_pallas_call(x_lb, lens, sigma, bnd_lb, means, log_pi_diag,
         interpret=interpret,
         **kwargs,
     )(x_lb, lens.reshape(1, B), sigma.reshape(1, B), jnp.asarray(params),
-      bnd_lb.astype(jnp.int8))
+      bnd_lb.astype(jnp.float32))
 
 
 def viterbi_pallas(x_bl: np.ndarray, lengths: np.ndarray, sigma: np.ndarray,

@@ -210,7 +210,9 @@ class CnvEngine:
             row_median_pallas,
         )
 
-        counts = jnp.asarray(counts).astype(jnp.float32)  # u16/raw inputs OK
+        counts = jnp.asarray(counts)  # u16/raw inputs stream at half bytes
+        if not (self.use_pallas and self._w_stacked is not None):
+            counts = counts.astype(jnp.float32)
         if self.use_pallas and self._w_stacked is not None:
             # the WHOLE pass as one band kernel: normalize+log2, bounds
             # subtract, clip, banded smooth, exact median, bounds, exp2 —
@@ -393,7 +395,7 @@ class CnvEngine:
     def transform_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid):
         """Pre-denoise residual matrix for one cell chunk (the step-14 state
         the HMM and subclustering consume)."""
-        return self._transform(jnp.asarray(counts, jnp.float32),
+        return self._transform(_counts_cast(counts),
                                jnp.float32(norm_factor), ref_means_log, ref_means_resid)
 
     def full_chunk(self, counts, norm_factor, ref_means_log, ref_means_resid,
@@ -404,7 +406,7 @@ class CnvEngine:
         matrix is denoised (noise_bounds=None leaves it raw)."""
         if noise_bounds is None:
             noise_bounds = jnp.zeros((2,), jnp.float32)  # no-op denoise
-        return self._full(jnp.asarray(counts, jnp.float32), jnp.float32(norm_factor),
+        return self._full(_counts_cast(counts), jnp.float32(norm_factor),
                           ref_means_log, ref_means_resid,
                           jnp.asarray(noise_bounds, jnp.float32))
 
@@ -424,7 +426,7 @@ class CnvEngine:
             G = self.gene_order.num_genes
             acc = (jnp.zeros((K, G), jnp.float32), jnp.zeros((K,), jnp.float32))
         return self._subcluster_chunk(
-            jnp.asarray(counts, jnp.float32), jnp.float32(norm_factor),
+            _counts_cast(counts), jnp.float32(norm_factor),
             ref_means_log, ref_means_resid,
             jnp.asarray(noise_bounds, jnp.float32), group_onehot,
             acc[0], acc[1])
@@ -448,6 +450,16 @@ class CnvEngine:
         else:
             sigma_rows = np.full((K,), float(self._sigma), np.float32)
         return self._viterbi_rows(group_means, jnp.asarray(sigma_rows))
+
+
+def _counts_cast(counts):
+    """Keep 16/32-bit integer counts in their narrow dtype (the fused
+    residual kernel converts in VMEM, halving HBM/link traffic); anything
+    else becomes float32 as before."""
+    counts = jnp.asarray(counts)
+    if counts.dtype in (jnp.uint16, jnp.int16, jnp.int32, jnp.uint32):
+        return counts
+    return counts.astype(jnp.float32)
 
 
 def make_cell_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -147,6 +147,14 @@ class RunConfig:
     # neither field participates in checkpoint-resume arg matching.
     n_devices: Optional[int] = None
     mesh: object = None
+    #: download dtype of the engine's residual chunks ("float16" halves the
+    #: device->host bytes; values are ~fold-changes near 1.0, so the f16
+    #: rounding is ~5e-4 relative — CNV calls are unaffected because the
+    #: HMM/subcluster group sums accumulate in f32 on device).  None = f32.
+    engine_transfer_dtype: Optional[str] = None
+    #: back the [C, G] residual matrix with a disk memmap (under out_dir)
+    #: when it would exceed this many GB of host RAM; None = always RAM.
+    residual_memmap_gb: Optional[float] = None
 
     def validate(self) -> None:
         if self.smooth_method not in ("pyramidinal", "runmeans", "coordinates"):

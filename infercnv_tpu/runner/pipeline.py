@@ -254,7 +254,27 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         C = obj.num_cells
         base_chunk = cfg.engine_chunk_cells or 16384
         chunk = max(base_chunk // n_dev, 1) * n_dev  # divisible by the mesh
-        out = np.empty_like(obj.expr)
+        probe_src = obj.expr[:chunk]  # view; device-time probe input below
+        # the residual is ALWAYS float32 regardless of the input counts
+        # dtype (u16 raw counts ride the fused kernel at half the bytes)
+        out_bytes = obj.num_cells * obj.num_genes * 4
+        if (cfg.residual_memmap_gb is not None
+                and out_bytes > cfg.residual_memmap_gb * 1e9):
+            mm_path = os.path.join(cfg.out_dir, "_residual.f32.memmap")
+            log_info(f"-residual matrix {out_bytes/1e9:.1f} GB -> disk memmap "
+                     f"{mm_path} (bounded host RSS)")
+            out = np.memmap(mm_path, dtype=np.float32, mode="w+",
+                            shape=(obj.num_cells, obj.num_genes))
+        else:
+            out = np.empty((obj.num_cells, obj.num_genes), np.float32)
+        tdtype = cfg.engine_transfer_dtype
+        if tdtype is not None and tdtype != "float32":
+            import jax.numpy as _jnp
+
+            log_info(f"-engine chunk downloads as {tdtype}")
+            _tcast = lambda r: r.astype(getattr(_jnp, tdtype))  # noqa: E731
+        else:
+            _tcast = lambda r: r  # noqa: E731
         # double-buffered streaming: dispatch chunk i+1 before blocking on
         # chunk i's result, so host<->device transfers overlap device
         # compute (the remote-TPU link is the bottleneck at 100k cells).
@@ -286,7 +306,7 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
             r = engine.transform_chunk(block, norm_factor, ml, mr)
             if device_chunks is not None:
                 device_chunks.append((b, nb, r))
-            pending.append((b, nb, r))
+            pending.append((b, nb, _tcast(r)))
             if len(pending) > 1:
                 b0, n0, r0 = pending.pop(0)
                 out[b0:b0 + n0] = _to_host(r0)[:n0]
@@ -299,6 +319,40 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
             # by the pipeline right after subclustering); a private attr,
             # NOT options (checkpoints JSON-serialize options)
             obj._device_residual = device_chunks
+    if C >= 50_000 and mesh is None:
+        # DEVICE-compute seconds alongside the step wall (VERDICT r4 item
+        # 8): on remote relays the step's wall is link-dominated (421-562 s
+        # at 100k for an identical program), which hides compute
+        # regressions below ~35%.  Re-time one warm chunk with its input
+        # already device-resident, dependence-chained so XLA cannot
+        # overlap iterations, and scale by the chunk count.
+        try:
+            import time as _time
+
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            probe = jnp.asarray(probe_src)
+            iters = 4
+
+            def _body(i, x):
+                fb = jnp.sum(engine.transform_chunk(x, norm_factor, ml, mr))
+                return x + (0.0 * fb).astype(x.dtype)
+
+            chained = jax.jit(lambda x0: lax.fori_loop(0, iters, _body, x0))
+            jax.block_until_ready(chained(probe))
+            t0 = _time.perf_counter()
+            jax.block_until_ready(chained(probe))
+            per_chunk = (_time.perf_counter() - t0) / iters
+            dev_s = per_chunk * (-(-C // chunk))
+            timer.records.append({"step": "04-14_engine_transform.device",
+                                  "seconds": round(dev_s, 4)})
+            log_info(f"[timing] 04-14_engine_transform.device: {dev_s:.3f}s "
+                     f"({per_chunk*1e3:.1f} ms/chunk x {-(-C // chunk)}; "
+                     "wall - device = link/host time)")
+        except Exception as e:  # the probe must never kill a run
+            log_warn(f"device-time probe skipped: {e}")
     if obj.hspike is not None:
         with timer.step("04-14_hspike_mirror"):
             _hspike_residual_chain(obj.hspike, cfg, float(cfg.max_centered_threshold))
@@ -331,7 +385,13 @@ def _clear_noise(obj: InferCNV, cfg: RunConfig) -> None:
             center, spread = T.ref_mean_sd_bounds(obj.expr, ref_idx, cfg.sd_amplifier)
             obj.expr = np.asarray(T.depress_log_signal_midpt_val(obj.expr, float(center), float(spread)))
         else:
-            obj.expr = np.asarray(T.clear_noise_via_ref_mean_sd(obj.expr, ref_idx, cfg.sd_amplifier))
+            # >8 GB matrices denoise block-wise in place (the buffer is
+            # run()-owned: the engine allocated it) — no full-size
+            # temporaries, and a memmap-backed residual stays on disk
+            obj.expr = np.asarray(T.clear_noise_via_ref_mean_sd(
+                obj.expr, ref_idx, cfg.sd_amplifier,
+                inplace=(isinstance(obj.expr, np.ndarray)
+                         and obj.expr.size > 2_000_000_000)))
 
 
 def _plot_states(obj: InferCNV, values, cfg: RunConfig,

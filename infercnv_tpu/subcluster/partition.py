@@ -394,6 +394,7 @@ def define_tumor_subclusters(
     """
     log_info(f"define_tumor_subclusters(p_val={p_val}, method={partition_method})")
     PHASE_TIMES.clear()
+    lazy_slice = False
     if cluster_by_groups:
         tumor_groups: Dict[str, np.ndarray] = {**{k: np.asarray(v) for k, v in obj.obs_groups.items()},
                                                **{k: np.asarray(v) for k, v in obj.ref_groups.items()}}
@@ -432,6 +433,12 @@ def define_tumor_subclusters(
                 [jnp.take(r[:nb], kg, axis=1) for (_b, nb, r) in device_chunks],
                 axis=0)
             _phase("gene_filter", t0, sync=dexpr)
+        elif obj.expr.size > 2_000_000_000:
+            # 1M-cell scale: never materialize the full gene-filtered copy
+            # (34 GB at 1M x 8.5k); each group slices its own rows from the
+            # (possibly memmap-backed) residual instead
+            lazy_slice = True
+            _phase("gene_filter", t0)
         else:
             expr = obj.expr[:, keep_genes]
             _phase("gene_filter", t0)
@@ -441,13 +448,18 @@ def define_tumor_subclusters(
     for gi, (group, idx) in enumerate(tumor_groups.items()):
         log_info(f"define_tumor_subclusters(), tumor: {group}")
         t0 = time.perf_counter()
-        if partition_method != "random_trees" and expr is None:
+        if partition_method != "random_trees" and expr is None and not lazy_slice:
             # device route: host rows only for groups small enough to get
             # a per-cell dendrogram
             device_rows = jnp.take(dexpr, jnp.asarray(idx), axis=0)
             sub_expr = (obj.expr[idx][:, keep_genes]
                         if idx.size <= LINKAGE_MAX_CELLS else None)
             _phase("slice", t0, sync=device_rows)
+        elif lazy_slice:
+            # big-matrix host route: one transient [n_group, G_kept] copy
+            device_rows = None
+            sub_expr = obj.expr[idx][:, keep_genes]
+            _phase("slice", t0)
         else:
             device_rows = None
             sub_expr = expr[idx]

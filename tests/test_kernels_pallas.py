@@ -239,3 +239,23 @@ def test_residual_band_kernel_multigroup_refs(rng):
     r_pal = np.asarray(e_pal.transform_chunk(counts, nf, ml, mr))
     r_xla = np.asarray(e_xla.transform_chunk(counts, nf, ml, mr))
     np.testing.assert_allclose(r_pal, r_xla, rtol=2e-5, atol=2e-5)
+
+
+def test_residual_band_kernel_u16_counts_exact(rng):
+    """uint16 raw counts through the fused kernel produce EXACTLY the f32
+    result (the in-VMEM conversion is lossless below 2^16)."""
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    go = _gene_order([150, 100, 57])
+    hmm = HMMParams(means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+                    sds=np.full(6, 0.15), t=1e-6)
+    gm = rng.gamma(2.0, 30.0, go.num_genes).astype(np.float32)
+    counts = rng.poisson(gm[None, :], (40, go.num_genes)).astype(np.uint16)
+    refc = counts[:16].astype(np.float32)
+    nf = float(np.median(counts.sum(axis=1, dtype=np.int64)))
+    eng = CnvEngine(go, hmm, EngineConfig(denoise=False), use_pallas=True)
+    ml, mr, _ = eng.ref_stats(refc, nf)
+    r16 = np.asarray(eng.transform_chunk(counts, nf, ml, mr))
+    r32 = np.asarray(eng.transform_chunk(counts.astype(np.float32), nf, ml, mr))
+    np.testing.assert_array_equal(r16, r32)

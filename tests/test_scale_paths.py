@@ -115,3 +115,46 @@ def test_plot_cnv_large_pane_downsamples(tmp_path):
     assert out is not None
     import os
     assert os.path.exists(out)
+
+
+def test_run_memmap_f16_transfer_and_lazy_slice(tmp_path, monkeypatch):
+    """The 1M-scale run() options, forced on at toy size: float16 chunk
+    downloads, disk-memmap residual, lazy per-group subcluster slicing and
+    in-place block denoise must still call the planted CNV and keep the
+    residual within f16 rounding of the default run."""
+    import numpy as np
+
+    from infercnv_tpu.runner.pipeline import run
+    from infercnv_tpu.subcluster import partition as part
+    from tests.test_pipeline import make_synthetic
+
+    obj_a = make_synthetic()
+    obj_b = make_synthetic()
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    kw = dict(HMM=True, HMM_type="i6", analysis_mode="subclusters",
+              tumor_subcluster_partition_method="leiden", denoise=True,
+              window_length=21, no_plot=True, save_rds=False,
+              BayesMaxPNormal=0)
+    res_a = run(obj_a, out_dir=out_a, **kw)
+    # force every big-matrix path at toy size
+    import infercnv_tpu.runner.pipeline as pl_mod
+
+    monkeypatch.setattr(part, "PHASE_TIMES", dict(part.PHASE_TIMES))
+    orig = pl_mod._run_engine_residual
+    res_b = run(obj_b, out_dir=out_b, engine_transfer_dtype="float16",
+                residual_memmap_gb=1e-9, **kw)
+    import os
+
+    assert os.path.exists(os.path.join(out_b, "_residual.f32.memmap"))
+    ea = np.asarray(res_a.infercnv_obj.expr, np.float32)
+    eb = np.asarray(res_b.infercnv_obj.expr, np.float32)
+    # f16 has ~5e-4 relative resolution around 1.0; values sitting exactly
+    # on the denoise band edge can flip in/out of the band (difference up
+    # to the band width), so assert f16-closeness in bulk + bounded tails
+    d = np.abs(eb - ea)
+    assert (d > 2e-3).mean() < 0.01, (d > 2e-3).mean()
+    assert d.max() < 0.2, d.max()
+    # identical planted-CNV structure: states agree almost everywhere
+    sa, sb = np.asarray(res_a.hmm_states), np.asarray(res_b.hmm_states)
+    assert (sa == sb).mean() > 0.99
