@@ -762,6 +762,12 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
                 per_chr_hmm_subclusters_references=cfg.per_chr_hmm_subclusters_references,
                 z_score_filter=cfg.z_score_filter,
                 seed=cfg.seed,
+                # f16-transferred residuals carry f16-quantized values, so
+                # re-uploading PCA rows as f16 is LOSSLESS and halves the
+                # dominant subclustering transfer at 1M cells
+                pca_upload_dtype=(np.float16
+                                  if cfg.engine_transfer_dtype == "float16"
+                                  else None),
             )
             del _dev_chunks  # release the device-resident residual copy
             timer_ctx.__exit__(None, None, None)

@@ -110,13 +110,14 @@ def _leiden_partition(
     method: str,
     objective: str,
     seed: int,
+    upload_dtype=None,
 ) -> np.ndarray:
     """Partition one cell group ([n, G] matrix).  method: 'PCA' | 'simple'."""
     n = expr_sub.shape[0]
     res = auto_resolution(n) if resolution == "auto" else float(resolution)
     if method == "PCA":
         t0 = time.perf_counter()
-        emb = pca_embed(expr_sub, n_components=10)
+        emb = pca_embed(expr_sub, n_components=10, upload_dtype=upload_dtype)
         _phase("pca", t0, sync=emb)
         t0 = time.perf_counter()
         nn = np.asarray(knn_indices(emb, min(k_nn, n)))
@@ -164,6 +165,7 @@ def _single_tumor_leiden_subclustering(
     objective: str,
     seed: int,
     device_rows=None,
+    upload_dtype=None,
 ) -> Tuple[Optional[np.ndarray], Dict[str, np.ndarray]]:
     """reference .single_tumor_leiden_subclustering (:569-643).
     Returns (linkage or None, {subcluster_name: cell indices}).
@@ -186,7 +188,8 @@ def _single_tumor_leiden_subclustering(
             {group_name: group_idx}
     part = _leiden_partition(
         device_rows if device_rows is not None else expr_sub,
-        k_nn, resolution, method, objective, seed)
+        k_nn, resolution, method, objective, seed,
+        upload_dtype=upload_dtype)
     # name clusters 1..K largest-first (reference iterates sort(table) desc)
     labels, counts = np.unique(part, return_counts=True)
     order = labels[np.argsort(-counts, kind="stable")]
@@ -377,6 +380,7 @@ def define_tumor_subclusters(
     seed: int = 12345,
     random_trees_window_size: int = 101,
     device_chunks=None,
+    pca_upload_dtype=None,
 ) -> Optional[Dict[str, Dict[str, np.ndarray]]]:
     """Populate obj.tumor_subclusters; returns subclusters_per_chr or None.
 
@@ -468,6 +472,7 @@ def define_tumor_subclusters(
             Z, subclusters = _single_tumor_leiden_subclustering(
                 group, idx, sub_expr, k_nn, leiden_resolution, leiden_method,
                 leiden_function, seed + gi, device_rows=device_rows,
+                upload_dtype=pca_upload_dtype,
             )
         elif partition_method == "random_trees":
             parts = _random_trees_recurse(idx, sub_expr, p_val, rng,
