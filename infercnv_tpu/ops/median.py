@@ -94,39 +94,15 @@ def _pick_tile_r(C: int, Gp: int, bytes_per_elt: int = _BYTES_PER_ELT) -> int:
 
 def _median_kernel(x_ref, out_ref, *, n, D):
     """x_ref: [R, Gp] f32 (cols >= n hold +inf); out_ref: [R, 128] f32
-    (median broadcast across lanes; caller reads lane 0)."""
+    (median broadcast across lanes; caller reads lane 0).  The select
+    itself is the ONE shared implementation in ops/residual_fused.py
+    (the physical +inf padding and the helper's iota mask produce the
+    same keys)."""
+    from infercnv_tpu.ops.residual_fused import radix_median_rows
+
     x = x_ref[:, :]
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    neg = (u >> 31) == 1
-    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
     R = x.shape[0]
-    k2 = n // 2  # 0-based upper-middle order statistic
-    res = jnp.zeros((R, 1), jnp.uint32)
-    T = (1 << D) - 1
-    for p in range(32 // D - 1, -1, -1):
-        shift = p * D
-        best = res
-        for j in range(1, T + 1):
-            cand = res | jnp.uint32(j << shift)
-            cnt = jnp.sum((key < cand).astype(jnp.int32), axis=-1,
-                          keepdims=True)
-            best = jnp.where(cnt <= k2, cand, best)
-        res = best
-    v2 = res
-    if n % 2 == 1:
-        med = _from_key(v2)
-    else:
-        cnt_lt = jnp.sum((key < v2).astype(jnp.int32), axis=-1, keepdims=True)
-        # Mosaic has no unsigned max reduction: flip the sign bit for an
-        # order-preserving int32 view, max there, flip back
-        ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000),
-                                            jnp.int32)
-        mi = jnp.max(jnp.where(key < v2, ikey, jnp.int32(-2147483648)),
-                     axis=-1, keepdims=True)
-        m = (jax.lax.bitcast_convert_type(mi, jnp.uint32)
-             ^ jnp.uint32(0x80000000))
-        v1 = jnp.where(cnt_lt < k2, v2, m)
-        med = (_from_key(v1) + _from_key(v2)) * 0.5
+    med = radix_median_rows(x, n, D)
     out_ref[:, :] = jnp.broadcast_to(med, (R, LANE))
 
 
@@ -138,40 +114,10 @@ def _median_epilogue_kernel(x_ref, gmin_ref, gmax_ref, out_ref, *, n, D):
     tile.  Saves two full HBM round-trips per chunk vs median kernel +
     XLA epilogue (the slice/pad copies between them plus the epilogue's
     own read+write)."""
+    from infercnv_tpu.ops.residual_fused import radix_median_rows
+
     x = x_ref[:, :]
-    R, Gp = x.shape
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    neg = (u >> 31) == 1
-    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
-    # mask padded columns with the +inf key (0xFF800000): same select
-    # result as physically padding with +inf
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, Gp), 1)
-    key = jnp.where(col < n, key, jnp.uint32(0xFF800000))
-    k2 = n // 2
-    res = jnp.zeros((R, 1), jnp.uint32)
-    T = (1 << D) - 1
-    for p in range(32 // D - 1, -1, -1):
-        shift = p * D
-        best = res
-        for j in range(1, T + 1):
-            cand = res | jnp.uint32(j << shift)
-            cnt = jnp.sum((key < cand).astype(jnp.int32), axis=-1,
-                          keepdims=True)
-            best = jnp.where(cnt <= k2, cand, best)
-        res = best
-    v2 = res
-    if n % 2 == 1:
-        med = _from_key(v2)
-    else:
-        cnt_lt = jnp.sum((key < v2).astype(jnp.int32), axis=-1, keepdims=True)
-        ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000),
-                                            jnp.int32)
-        mi = jnp.max(jnp.where(key < v2, ikey, jnp.int32(-2147483648)),
-                     axis=-1, keepdims=True)
-        m = (jax.lax.bitcast_convert_type(mi, jnp.uint32)
-             ^ jnp.uint32(0x80000000))
-        v1 = jnp.where(cnt_lt < k2, v2, m)
-        med = (_from_key(v1) + _from_key(v2)) * 0.5
+    med = radix_median_rows(x, n, D)
     y = x - med                                  # identical op order to the
     gmin = gmin_ref[0]                           # XLA epilogue it replaces
     gmax = gmax_ref[0]

@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 
 LANE = 128
-_VMEM_BUDGET = 26 * 1024 * 1024
+#: working-set budget against the 64 MB vmem_limit_bytes the kernel
+#: compiles with (the gap covers Mosaic-internal temporaries of the radix
+#: select); the weight stack is charged explicitly in _pick_tile_r
+_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def radix_median_rows(y, n: int, D: int):
@@ -150,13 +153,15 @@ def _residual_band_kernel(nf_ref, counts_ref, w_ref, b1min_ref, b1max_ref,
     out_ref[:, :] = jnp.exp2(out)
 
 
-def _pick_tile_r(Gp: int) -> int:
+def _pick_tile_r(Gp: int, n_tiles: int) -> int:
     """Largest row band (multiple of 8, <= 128) fitting the VMEM budget:
-    double-buffered counts + out, xpad scratch, the uint32 key temp, and
-    the resident weight stack."""
-    w_bytes = 0  # weights are grid-constant; Mosaic keeps one copy outside
+    double-buffered counts + out, xpad scratch, the uint32 key temp, the
+    resident [n_tiles, 384, 128] weight stack and the 4 bounds rows.
+    Returns 0 when even 8 rows do not fit — the caller then keeps the
+    unfused path."""
+    w_bytes = n_tiles * 384 * 128 * 4 + 4 * Gp * 4
     per_row = Gp * 4 * (2 + 2 + 1 + 1 + 1)  # counts x2, out x2, xpad, key
-    cap = (_VMEM_BUDGET - w_bytes) // per_row
+    cap = max(0, _VMEM_BUDGET - w_bytes) // per_row
     tile = min(128, (cap // 8) * 8)
     return tile if tile >= 8 else 0
 
@@ -182,13 +187,15 @@ def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if 32 % D:
+        raise ValueError(f"median_radix_bits must divide 32, got {D}")
     counts = jnp.asarray(counts)
     if counts.dtype not in (jnp.float32, jnp.uint16, jnp.int16, jnp.int32,
                             jnp.uint32):
         counts = counts.astype(jnp.float32)
     C, G = counts.shape
     Gp = n_tiles * LANE
-    tile_r = _pick_tile_r(Gp)
+    tile_r = _pick_tile_r(Gp, n_tiles)
     if tile_r == 0:
         raise ValueError("gene axis too wide for the fused residual kernel")
     if counts.dtype.itemsize == 2:

@@ -199,7 +199,15 @@ def remove_outliers_norm(x, out_method: str = "average_bound",
 
 def clear_noise(x, threshold: float, center_pos: float = 0.0):
     """Values strictly inside (center-threshold, center+threshold) -> center
-    (reference .clear_noise :2302-2346 helper at :2232-2278)."""
+    (reference .clear_noise :2302-2346 helper at :2232-2278).  Host numpy
+    inputs stay on host (a full-matrix device round-trip costs minutes at
+    1M cells over a remote link)."""
+    if isinstance(x, np.ndarray):
+        x = np.asarray(x, np.float32)
+        if threshold == 0:
+            return x
+        inside = (x > center_pos - threshold) & (x < center_pos + threshold)
+        return np.where(inside, np.float32(center_pos), x)
     x = jnp.asarray(x, jnp.float32)
     if threshold == 0:
         return x
@@ -254,7 +262,13 @@ def depress_log_signal_midpt_val(x, center: float, delta_midpt: float, slope: fl
     """Logistic soft noise shrink (reference inferCNV_heatmap.R:2783-2810,
     .logistic in SplatterScrape.R:210): each value is pulled toward `center`
     by p = logistic(|x - center|; midpoint=delta_midpt, slope), so values
-    near the center shrink to it and values far beyond the midpoint are kept."""
+    near the center shrink to it and values far beyond the midpoint are
+    kept.  Host numpy inputs stay on host (see clear_noise)."""
+    if isinstance(x, np.ndarray):
+        x = np.asarray(x, np.float32)
+        delta = np.abs(x - center)
+        p = 1.0 / (1.0 + np.exp(-slope * (delta - delta_midpt)))
+        return (center + np.sign(x - center) * delta * p).astype(np.float32)
     x = jnp.asarray(x, jnp.float32)
     delta = jnp.abs(x - center)
     p = 1.0 / (1.0 + jnp.exp(-slope * (delta - delta_midpt)))

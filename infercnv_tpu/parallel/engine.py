@@ -108,10 +108,10 @@ class CnvEngine:
         # K=384 aligned stack for the single-kernel fused residual pass
         # (ops/residual_fused.py): counts -> residual in one HBM round-trip
         self._w_stacked = None
-        if op.side_tiles == 1:
+        if op.side_tiles == 1 and 32 % config.median_radix_bits == 0:
             from infercnv_tpu.ops.residual_fused import _pick_tile_r
 
-            if _pick_tile_r(op.n_tiles * 128) > 0:
+            if _pick_tile_r(op.n_tiles * 128, op.n_tiles) > 0:
                 self._w_stacked = jnp.asarray(op.stacked_blocks())
         # chromosome bin-packing + unpack map (shared with models/hmm.py —
         # ops/viterbi_pack.py is the single Viterbi implementation)

@@ -159,6 +159,11 @@ class RunConfig:
     def validate(self) -> None:
         if self.smooth_method not in ("pyramidinal", "runmeans", "coordinates"):
             raise ValueError(f"unknown smooth_method {self.smooth_method!r}")
+        if self.engine_transfer_dtype not in (None, "float32", "float16",
+                                              "bfloat16"):
+            raise ValueError(
+                f"unknown engine_transfer_dtype {self.engine_transfer_dtype!r}"
+                " (use None, 'float32', 'float16' or 'bfloat16')")
         if self.HMM_type not in ("i6", "i3"):
             raise ValueError(f"unknown HMM_type {self.HMM_type!r}")
         if self.analysis_mode not in ("subclusters", "samples", "cells"):

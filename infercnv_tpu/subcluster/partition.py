@@ -460,9 +460,11 @@ def define_tumor_subclusters(
                         if idx.size <= LINKAGE_MAX_CELLS else None)
             _phase("slice", t0, sync=device_rows)
         elif lazy_slice:
-            # big-matrix host route: one transient [n_group, G_kept] copy
+            # big-matrix host route: ONE [n_group, G_kept] copy (np.ix_ —
+            # chained fancy indexing would first materialize the full
+            # gene-width rows, ~9.6 GB extra peak per group at 1M cells)
             device_rows = None
-            sub_expr = obj.expr[idx][:, keep_genes]
+            sub_expr = obj.expr[np.ix_(idx, keep_genes)]
             _phase("slice", t0)
         else:
             device_rows = None

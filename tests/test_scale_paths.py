@@ -138,10 +138,7 @@ def test_run_memmap_f16_transfer_and_lazy_slice(tmp_path, monkeypatch):
               BayesMaxPNormal=0)
     res_a = run(obj_a, out_dir=out_a, **kw)
     # force every big-matrix path at toy size
-    import infercnv_tpu.runner.pipeline as pl_mod
-
     monkeypatch.setattr(part, "PHASE_TIMES", dict(part.PHASE_TIMES))
-    orig = pl_mod._run_engine_residual
     res_b = run(obj_b, out_dir=out_b, engine_transfer_dtype="float16",
                 residual_memmap_gb=1e-9, **kw)
     import os
