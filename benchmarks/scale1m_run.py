@@ -34,7 +34,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def synth_counts_streamed(C, G=9000, n_chr=22, n_groups=3, seed=0):
+def synth_counts_streamed(C, G=9000, n_chr=22, n_groups=3, seed=0,
+                          gen_counts=True):
     """Same planted-CNV generator as scale100k_run.py, but Poisson-sampled
     in row blocks straight into a preallocated uint16 matrix."""
     from infercnv_tpu.core.genome import GeneOrder
@@ -67,6 +68,10 @@ def synth_counts_streamed(C, G=9000, n_chr=22, n_groups=3, seed=0):
         factors[gi + 1, db:de] = 0.5
         factors[gi + 1, ab:ae] = 2.0
         planted[f"malignant_{gi+1}"] = (np.arange(db, de), np.arange(ab, ae))
+    if not gen_counts:
+        ref_groups = {"normal_a": np.arange(0, n_ref // 2),
+                      "normal_b": np.arange(n_ref // 2, n_ref)}
+        return go, None, ref_groups, tumor_groups, planted
     counts = np.empty((C, G), np.uint16)
     bounds = [0, n_ref] + [n_ref + gi * per_grp for gi in range(1, n_groups_eff)] + [C]
     for row_grp in range(n_groups_eff + 1):
@@ -94,6 +99,9 @@ def main():
     ap.add_argument("--cells", type=int, default=1_000_000)
     ap.add_argument("--no-plot", action="store_true")
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--counts_cache", default=None,
+                    help="path to cache the generated uint16 counts "
+                         "(re-launches skip the ~20 min generation)")
     args = ap.parse_args()
 
     from infercnv_tpu.core.object import InferCNV
@@ -101,10 +109,21 @@ def main():
 
     C = args.cells
     t0 = time.perf_counter()
-    go, counts, ref_groups, tumor_groups, planted = synth_counts_streamed(C)
-    print(f"# generated {C} cells x {go.num_genes} genes (uint16, "
-          f"{counts.nbytes/1e9:.1f} GB) in {time.perf_counter()-t0:.1f}s",
-          flush=True)
+    cache = args.counts_cache
+    if cache and os.path.exists(cache):
+        go, _c, ref_groups, tumor_groups, planted = synth_counts_streamed(
+            C, gen_counts=False)
+        counts = np.load(cache)
+        assert counts.shape == (C, go.num_genes), counts.shape
+        print(f"# loaded cached counts {counts.shape} from {cache} in "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        go, counts, ref_groups, tumor_groups, planted = synth_counts_streamed(C)
+        if cache:
+            np.save(cache, counts)
+        print(f"# generated {C} cells x {go.num_genes} genes (uint16, "
+              f"{counts.nbytes/1e9:.1f} GB) in {time.perf_counter()-t0:.1f}s",
+              flush=True)
 
     obj = InferCNV(
         expr=counts, counts=counts, gene_order=go,

@@ -129,6 +129,9 @@ class CnvEngine:
         self._cell_sharding = cell_sharding
 
         self._ref_stats = jax.jit(self._ref_stats_impl)
+        self._ref_pass1 = jax.jit(self._ref_pass1_impl)
+        self._ref_pass2 = jax.jit(self._ref_pass2_impl)
+        self._ref_pass3 = jax.jit(self._ref_pass3_impl)
         if mesh is not None:
             # the chunk step has no cross-cell communication (ref stats are
             # precomputed and replicated), so it runs as one shard_map over
@@ -349,6 +352,80 @@ class CnvEngine:
         sd_ref = jnp.mean(jnp.std(final, axis=1, ddof=1)) * self.config.sd_amplifier
         return ref_means_log, ref_means_resid, jnp.stack([mean_ref, sd_ref])
 
+    # -- streamed ref stats (the one-shot program holds several [R, G]
+    # temporaries; at 1M cells the 200k reference rows alone exceed HBM,
+    # so the statistics accumulate over cell chunks in three passes) -----
+
+    def _ref_pass1_impl(self, counts, norm_factor, onehot_c):
+        cs = jnp.sum(counts.astype(jnp.float32), axis=1, keepdims=True)
+        xlog = jnp.log2(counts / cs * norm_factor + 1.0)
+        return onehot_c @ xlog                                      # [K, G]
+
+    def _ref_stage2_x(self, counts, norm_factor, ref_means_log):
+        cs = jnp.sum(counts.astype(jnp.float32), axis=1, keepdims=True)
+        xlog = jnp.log2(counts / cs * norm_factor + 1.0)
+        x = self._subtract(xlog, ref_means_log)
+        x = jnp.clip(x, -self.config.max_centered_threshold,
+                     self.config.max_centered_threshold)
+        x = self._smooth(x)
+        if self.config.center_method == "median":
+            return x - jnp.median(x, axis=1, keepdims=True)
+        return x - jnp.mean(x, axis=1, keepdims=True)
+
+    def _ref_pass2_impl(self, counts, norm_factor, ref_means_log, onehot_c):
+        return onehot_c @ self._ref_stage2_x(counts, norm_factor, ref_means_log)
+
+    def _ref_pass3_impl(self, counts, norm_factor, ref_means_log,
+                        ref_means_resid, row_mask):
+        x = self._ref_stage2_x(counts, norm_factor, ref_means_log)
+        final = jnp.exp2(self._subtract(x, ref_means_resid))
+        m = row_mask[:, None]
+        total = jnp.sum(final * m)
+        sd_sum = jnp.sum(jnp.std(final, axis=1, ddof=1) * row_mask)
+        return total, sd_sum
+
+    def _ref_stats_streamed(self, ref_counts, norm_factor, group_onehot,
+                            chunk: int = 16384):
+        """ref_stats accumulated over cell chunks — same statistics as the
+        one-shot program (accumulation order differs, so results agree to
+        f32 rounding, not bitwise); used automatically when the reference
+        block would not fit HBM."""
+        R = ref_counts.shape[0]
+        G = self.gene_order.num_genes
+        K = group_onehot.shape[0]
+        nf = jnp.float32(norm_factor)
+        gn = np.asarray(group_onehot, np.float32).sum(axis=1)[:, None]
+
+        def chunks():
+            for b in range(0, R, chunk):
+                c = np.asarray(ref_counts[b:b + chunk])
+                oh = np.ascontiguousarray(group_onehot[:, b:b + chunk],
+                                          dtype=np.float32)
+                yield c, oh
+
+        gsum = np.zeros((K, G), np.float64)
+        for c, oh in chunks():
+            gsum += np.asarray(self._ref_pass1(jnp.asarray(c), nf,
+                                               jnp.asarray(oh)),
+                               np.float64)
+        ml = jnp.asarray((gsum / gn).astype(np.float32))
+        gsum2 = np.zeros((K, G), np.float64)
+        for c, oh in chunks():
+            gsum2 += np.asarray(self._ref_pass2(jnp.asarray(c), nf, ml,
+                                                jnp.asarray(oh)),
+                                np.float64)
+        mr = jnp.asarray((gsum2 / gn).astype(np.float32))
+        total = 0.0
+        sd_sum = 0.0
+        for c, _oh in chunks():
+            mask = jnp.ones((c.shape[0],), jnp.float32)
+            t, s = self._ref_pass3(jnp.asarray(c), nf, ml, mr, mask)
+            total += float(t)
+            sd_sum += float(s)
+        mean_ref = total / (R * G)
+        sd_ref = (sd_sum / R) * self.config.sd_amplifier
+        return ml, mr, jnp.asarray(np.array([mean_ref, sd_ref], np.float32))
+
     def _transform_impl(self, counts, norm_factor, ref_means_log, ref_means_resid):
         return self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
 
@@ -385,10 +462,18 @@ class CnvEngine:
     def ref_stats(self, ref_counts, norm_factor, group_onehot=None):
         """Per-reference-group gene means for both subtraction stages plus
         pooled denoise bounds.  group_onehot: [K, n_ref] membership (None =
-        one pooled group, the refless/single-group case)."""
-        ref_counts = jnp.asarray(ref_counts, jnp.float32)
+        one pooled group, the refless/single-group case).
+
+        Above ~2.5e8 reference elements (1 GB f32 input; the one-shot
+        program needs ~6x that in HBM temporaries) the statistics stream
+        over cell chunks instead (same math, f32-rounding-level agreement
+        — accumulation order differs)."""
         if group_onehot is None:
-            group_onehot = jnp.ones((1, ref_counts.shape[0]), jnp.float32)
+            group_onehot = np.ones((1, ref_counts.shape[0]), np.float32)
+        if int(np.prod(ref_counts.shape)) > 250_000_000:
+            return self._ref_stats_streamed(
+                ref_counts, norm_factor, np.asarray(group_onehot, np.float32))
+        ref_counts = jnp.asarray(ref_counts, jnp.float32)
         return self._ref_stats(ref_counts, jnp.float32(norm_factor),
                                jnp.asarray(group_onehot, jnp.float32))
 

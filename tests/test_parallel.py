@@ -225,3 +225,43 @@ def test_binpacked_viterbi_pallas_matches_per_chromosome():
     got = np.asarray(engine._viterbi(jnp.asarray(resid)))
     exp = viterbi_per_group(resid, go, hmm)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_ref_stats_streamed_matches_oneshot():
+    """The chunked three-pass reference statistics (used when the
+    reference block exceeds HBM at 1M cells) agree with the one-shot
+    program to f32 rounding."""
+    import numpy as np
+
+    from infercnv_tpu.core.genome import GeneOrder
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    G = 600
+    go = GeneOrder(names=tuple(f"g{i}" for i in range(G)),
+                   chr_names=("chr1", "chr2", "chr3"),
+                   chr_ids=np.repeat(np.arange(3), G // 3).astype(np.int32),
+                   start=np.arange(G), stop=np.arange(G) + 1)
+    hmm = HMMParams(means=np.arange(1.0, 7.0) / 3.0, sds=np.full(6, 0.1),
+                    t=1e-6)
+    rng = np.random.default_rng(3)
+    counts = rng.poisson(rng.gamma(2.0, 20.0, G)[None, :],
+                         (700, G)).astype(np.float32)
+    onehot = np.zeros((2, 700), np.float32)
+    onehot[0, :350] = 1
+    onehot[1, 350:] = 1
+    eng = CnvEngine(go, hmm, EngineConfig(window_length=31, denoise=False))
+    nf = float(np.median(counts.sum(axis=1)))
+    ml_a, mr_a, nb_a = eng.ref_stats(counts, nf, onehot)
+    ml_b, mr_b, nb_b = eng._ref_stats_streamed(counts, nf, onehot, chunk=256)
+    np.testing.assert_allclose(np.asarray(ml_b), np.asarray(ml_a),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mr_b), np.asarray(mr_a),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nb_b), np.asarray(nb_a),
+                               rtol=1e-4, atol=1e-5)
+    # u16 counts stream identically (the passes cast in-program)
+    ml_c, mr_c, _ = eng._ref_stats_streamed(counts.astype(np.uint16), nf,
+                                            onehot, chunk=256)
+    np.testing.assert_allclose(np.asarray(ml_c), np.asarray(ml_b),
+                               rtol=1e-6, atol=1e-6)
