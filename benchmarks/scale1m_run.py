@@ -130,6 +130,7 @@ def main():
         cell_names=[f"c{i}" for i in range(C)],
         ref_groups=ref_groups, obs_groups=tumor_groups,
     )
+    del counts  # the object owns the matrix; keep ONE host reference
 
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="icnv1m_")
     t1 = time.perf_counter()

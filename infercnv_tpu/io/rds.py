@@ -798,7 +798,8 @@ def save_rds_infercnv(obj, path: str, options: Optional[Dict[str, Any]] = None,
     tumor_subclusters = ({"subclusters": subclusters, "hc": {}}
                          if subclusters else None)
 
-    counts = obj.counts if obj.counts.shape == obj.expr.shape else obj.expr
+    counts = (obj.counts if obj.counts is not None
+              and obj.counts.shape == obj.expr.shape else obj.expr)
     opts: Dict[str, Any] = dict(options or {})
     slots: List[Tuple[str, Any]] = [
         ("expr.data", RMatrix(np.asarray(obj.expr, np.float64).T,

@@ -163,7 +163,12 @@ def region_loglik(expr_cg: np.ndarray, regions: List[dict],
     # and the full-matrix upload per block dominated the Bayes step at
     # 100k cells (one full 3.4 GB link pass per block)
     union = np.unique(np.concatenate([r["cell_idx"] for r in regions]))
-    use_subset = union.size <= int(0.6 * C)
+    # cap the host subset copy at ~6 GB: at 1M cells a block union can
+    # cover most of the matrix, and the [union, G] f32 copy (21+ GB)
+    # OOM-killed the round-5 1M run — beyond the cap, stream the full
+    # (possibly memmap-backed) matrix chunk-by-chunk instead
+    use_subset = (union.size <= int(0.6 * C)
+                  and union.size * G * 4 < 6e9)
     if use_subset:
         pos = np.full(C, -1, np.int64)
         pos[union] = np.arange(union.size)

@@ -617,6 +617,15 @@ def run(obj: InferCNV, out_dir: Optional[str] = None, **kwargs) -> RunResult:
     # intermediates are never materialized); resume picks it up as usual.
     if _engine_fast_ok(cfg, skip_past) and skip_past < 14:
         _run_engine_residual(obj, cfg, timer)
+        if (not cfg.save_rds and not cfg.save_final_rds
+                and obj.counts is not None
+                and getattr(obj.counts, "nbytes", 0) > 4_000_000_000):
+            # no RDS outputs will ever read the raw counts again; at 1M
+            # cells the filtered matrix is ~18 GB of host RAM
+            log_info("-releasing raw counts matrix "
+                     f"({obj.counts.nbytes/1e9:.1f} GB; no RDS outputs "
+                     "requested)")
+            obj.counts = None
         save(14)  # while skip_past is still < 14
         skip_past = max(skip_past, 14)
 

@@ -39,7 +39,21 @@ class StepTimer:
         finally:
             dt = time.perf_counter() - t0
             self.records.append({"step": name, "seconds": round(dt, 4)})
-            log_info(f"[timing] {name}: {dt:.3f}s")
+            log_info(f"[timing] {name}: {dt:.3f}s (rss {_rss_gb():.1f} GB)")
+
+
+def _rss_gb() -> float:
+    """Current VmRSS in GB (0.0 off-Linux) — per-step memory attribution
+    for scale runs (a 1M-cell run was OOM-killed in round 5 with no record
+    of WHICH step grew the footprint)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
 
     def finish(self) -> None:
         if self._trace_active:
