@@ -18,6 +18,20 @@ from typing import Dict, List, Optional
 from infercnv_tpu.utils.logging import log_info
 
 
+def _rss_gb() -> float:
+    """Current VmRSS in GB (0.0 off-Linux) — per-step memory attribution
+    for scale runs (a 1M-cell run was OOM-killed in round 5 with no record
+    of WHICH step grew the footprint)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 class StepTimer:
     def __init__(self, out_dir: Optional[str] = None):
         self.out_dir = out_dir
@@ -40,20 +54,6 @@ class StepTimer:
             dt = time.perf_counter() - t0
             self.records.append({"step": name, "seconds": round(dt, 4)})
             log_info(f"[timing] {name}: {dt:.3f}s (rss {_rss_gb():.1f} GB)")
-
-
-def _rss_gb() -> float:
-    """Current VmRSS in GB (0.0 off-Linux) — per-step memory attribution
-    for scale runs (a 1M-cell run was OOM-killed in round 5 with no record
-    of WHICH step grew the footprint)."""
-    try:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS"):
-                    return int(line.split()[1]) / 1e6
-    except OSError:
-        pass
-    return 0.0
 
     def finish(self) -> None:
         if self._trace_active:

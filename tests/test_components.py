@@ -296,3 +296,21 @@ def test_newick_sanitizes_reserved_characters():
     nwk = linkage_to_newick(Z, ["a,b", "c:d", "e (f)"])
     # reserved characters never appear inside labels
     assert "a_b" in nwk and "c_d" in nwk and "e__f_" in nwk
+
+
+def test_step_timer_finish_writes_tsv(tmp_path):
+    """StepTimer's full surface: step() records, finish() writes the tsv,
+    as_json() serializes.  Regression: a round-5 edit accidentally nested
+    finish/as_json inside a helper, so run() crashed at timer.finish()."""
+    from infercnv_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(str(tmp_path))
+    with t.step("03_normalize"):
+        pass
+    t.finish()
+    lines = (tmp_path / "step_timings.tsv").read_text().strip().splitlines()
+    assert lines[0] == "step\tseconds"
+    assert lines[1].startswith("03_normalize\t")
+    import json
+
+    assert json.loads(t.as_json())[0]["step"] == "03_normalize"
