@@ -46,7 +46,7 @@ class InferCNV:
     """
 
     expr: np.ndarray
-    counts: np.ndarray
+    counts: Optional[np.ndarray]  # None after a scale run releases raw counts
     gene_order: GeneOrder
     cell_names: List[str]
     ref_groups: CellGroups
@@ -82,10 +82,15 @@ class InferCNV:
     def validate(self) -> None:
         """reference: validate_infercnv_obj (R/inferCNV.R:471-505)."""
         C, G = self.expr.shape
-        if self.counts.shape[0] != C:
+        if self.counts is None:
+            # a scale run may release the raw counts after the engine pass
+            # (runner/pipeline.py); views built from such an object are valid
+            pass
+        elif self.counts.shape[0] != C:
             raise ValueError(
                 f"counts has {self.counts.shape[0]} cells but expr has {C}")
-        if self.counts.shape[1] != G and self.counts.shape != self.expr.shape:
+        if (self.counts is not None and self.counts.shape[1] != G
+                and self.counts.shape != self.expr.shape):
             # counts keeps the full gene set only at creation; after gene
             # removal both are subset together (remove_genes, R/inferCNV.R:445)
             raise ValueError("expr and counts shapes inconsistent")
@@ -113,13 +118,13 @@ class InferCNV:
         if remove_idx.size:
             keep[remove_idx] = False
         keep_idx = np.nonzero(keep)[0]
-        counts_was_expr = self.counts is self.expr
+        counts_was_expr = self.counts is not None and self.counts is self.expr
         # np.take is ~4x faster than fancy column indexing for wide
         # row-major matrices (measured: 21s vs 86s at 100k x 10k)
         self.expr = np.take(self.expr, keep_idx, axis=1)
         if counts_was_expr:
             self.counts = self.expr
-        elif self.counts.shape[1] == keep.shape[0]:
+        elif self.counts is not None and self.counts.shape[1] == keep.shape[0]:
             self.counts = np.take(self.counts, keep_idx, axis=1)
         self.gene_order = self.gene_order.subset(keep_idx)
         return self
