@@ -135,6 +135,62 @@ def color_palette(*args, **kwargs):
 
 # CamelCase alias matching the reference's exported constructor name
 def CreateInfercnvObject(*args, **kwargs):
-    """Alias of :func:`infercnv_tpu.core.object.create_infercnv_object`
-    under the reference's exported name (R/inferCNV.R:133)."""
-    return create_infercnv_object(*args, **kwargs)
+    """The reference's exported constructor (R/inferCNV.R:133-337), both
+    calling conventions:
+
+    * reference style — ``CreateInfercnvObject(raw_counts_matrix=<path or
+      genes x cells DataFrame>, annotations_file=<path>,
+      gene_order_file=<path>, ref_group_names=[...], delim="\\t", ...)``
+      (file paths may be tsv/gz/.rds/.mtx/.h5ad/10x-.h5);
+    * in-memory arrays — the keyword signature of
+      :func:`infercnv_tpu.core.object.create_infercnv_object`.
+    """
+    ref_style = ("raw_counts_matrix" in kwargs or "annotations_file" in kwargs
+                 or "gene_order_file" in kwargs
+                 or (args and isinstance(args[0], (str, _os.PathLike))))
+    if not ref_style:
+        return create_infercnv_object(*args, **kwargs)
+    names = ("raw_counts_matrix", "gene_order_file", "annotations_file",
+             "ref_group_names")
+    for name, val in zip(names, args):
+        if name in kwargs:
+            raise TypeError(f"CreateInfercnvObject() got multiple values for {name!r}")
+        kwargs[name] = val
+    counts = kwargs.pop("raw_counts_matrix")
+    gene_order_file = kwargs.pop("gene_order_file")
+    annotations_file = kwargs.pop("annotations_file")
+    ref_group_names = kwargs.pop("ref_group_names", None)
+    sep = kwargs.pop("delim", "\t")
+    passthrough = {k: kwargs.pop(k) for k in
+                   ("chr_exclude", "min_max_counts_per_cell",
+                    "max_cells_per_group") if k in kwargs}
+    if kwargs:
+        raise TypeError("CreateInfercnvObject() got unexpected keyword "
+                        f"argument(s): {sorted(kwargs)}")
+    if isinstance(counts, (str, _os.PathLike)):
+        from infercnv_tpu.io.loaders import load_infercnv_object
+
+        return load_infercnv_object(
+            counts_path=_os.fspath(counts), gene_order_path=_os.fspath(gene_order_file),
+            annotations_path=_os.fspath(annotations_file),
+            ref_group_names=ref_group_names, sep=sep, **passthrough)
+    # genes x cells DataFrame (the reference's in-memory matrix form carries
+    # dimnames; the Python analogue is a pandas-like frame)
+    if not (hasattr(counts, "index") and hasattr(counts, "columns")):
+        raise TypeError(
+            "raw_counts_matrix must be a file path or a genes x cells "
+            "DataFrame (rownames=genes, colnames=cells); for bare arrays "
+            "use create_infercnv_object(counts_matrix=..., gene_names=..., "
+            "cell_names=...)")
+    from infercnv_tpu.io.loaders import read_annotations_file, read_gene_order_file
+
+    table, chr_order = read_gene_order_file(_os.fspath(gene_order_file))
+    ann = read_annotations_file(_os.fspath(annotations_file))
+    import numpy as _np
+
+    return create_infercnv_object(
+        counts_matrix=_np.asarray(counts, _np.float64),
+        gene_names=[str(g) for g in counts.index],
+        cell_names=[str(c) for c in counts.columns],
+        annotations=ann, gene_order_table=table, chr_file_order=chr_order,
+        ref_group_names=ref_group_names, **passthrough)

@@ -93,14 +93,20 @@ def radix_median_rows(y, n: int, D: int):
 
 
 def _residual_band_kernel(nf_ref, counts_ref, w_ref, b1min_ref, b1max_ref,
-                          b2min_ref, b2max_ref, out_ref, xpad_ref, *,
+                          b2min_ref, b2max_ref, out_ref, xpad_ref,
+                          smooth_ref=None, *,
                           n, n_tiles, D, mct, center_mean, bf16):
     """One row band, end to end.  counts_ref: [R, Gp] f32 (columns >= n
     zero); w_ref: [n_tiles, 384, 128] stacked smooth weights (see
     layout.stacked_blocks); b*_ref: [1, Gp] per-gene bounds (zero in
     padded columns); nf_ref: (1, 1) SMEM normalization factor; out_ref:
     [R, Gp] final residual; xpad_ref: [R, Gp + 256] scratch (one
-    128-gene zero tile each side so every K=384 window is lane-aligned)."""
+    128-gene zero tile each side so every K=384 window is lane-aligned).
+
+    When out_ref is narrower than f32 (f16/bf16 direct output — half the
+    HBM write bytes, see residual_fused_pallas(out_dtype=...)), smooth_ref
+    is an extra [R, Gp] f32 scratch: every intermediate stays f32 and only
+    the final store rounds, bit-identical to casting the f32 result."""
     nf = nf_ref[0, 0]
     c = counts_ref[:, :]
     if c.dtype != jnp.float32:
@@ -123,6 +129,9 @@ def _residual_band_kernel(nf_ref, counts_ref, w_ref, b1min_ref, b1max_ref,
     xpad_ref[:, 0:LANE] = jnp.zeros((R, LANE), jnp.float32)
     xpad_ref[:, LANE + Gp:] = jnp.zeros((R, LANE), jnp.float32)
     xpad_ref[:, LANE:LANE + Gp] = x
+    # f16/bf16 out: the smooth result must stay f32 for the exact median,
+    # so it lands in the dedicated scratch instead of out_ref
+    tgt = out_ref if smooth_ref is None else smooth_ref
     # banded smooth: out tile j = xpad[:, j*128 : j*128+384] @ w[j]
     for j in range(n_tiles):
         xw = xpad_ref[:, j * LANE:j * LANE + 3 * LANE]
@@ -137,8 +146,8 @@ def _residual_band_kernel(nf_ref, counts_ref, w_ref, b1min_ref, b1max_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-        out_ref[:, j * LANE:(j + 1) * LANE] = blk
-    y = out_ref[:, :]
+        tgt[:, j * LANE:(j + 1) * LANE] = blk
+    y = tgt[:, :]
     if center_mean:
         col = jax.lax.broadcasted_iota(jnp.int32, (R, Gp), 1)
         med = (jnp.sum(jnp.where(col < n, y, 0.0), axis=-1, keepdims=True)
@@ -150,7 +159,7 @@ def _residual_band_kernel(nf_ref, counts_ref, w_ref, b1min_ref, b1max_ref,
     b2max = b2max_ref[:, :]
     out = jnp.where(r > b2max, r - b2max, 0.0)
     out = jnp.where(r < b2min, r - b2min, out)
-    out_ref[:, :] = jnp.exp2(out)
+    out_ref[:, :] = jnp.exp2(out).astype(out_ref.dtype)
 
 
 def _pick_tile_r(Gp: int, n_tiles: int) -> int:
@@ -168,12 +177,13 @@ def _pick_tile_r(Gp: int, n_tiles: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles", "num_genes", "D", "mct", "center_mean", "matmul_dtype",
-    "interpret"))
+    "out_dtype", "interpret"))
 def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
                           norm_factor, n_tiles: int, num_genes: int,
                           D: int = 1, mct: float = 3.0,
                           center_mean: bool = False,
                           matmul_dtype: str = "float32",
+                          out_dtype: str = "float32",
                           interpret: bool = False):
     """counts [C, G] (raw, any float/int dtype) -> final residual [C, G].
 
@@ -183,7 +193,14 @@ def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
     ref_subtract_use_bounds=False config — the where-form is exactly
     x - mean when min == max).  Returns None-equivalent fallback marker by
     raising ValueError when the gene axis cannot fit VMEM (caller falls
-    back to the unfused path)."""
+    back to the unfused path).
+
+    out_dtype='float16'/'bfloat16' makes the KERNEL store the rounded
+    residual directly — half the HBM write bytes and no separate XLA cast
+    pass; every intermediate (smooth, exact median) stays f32 in VMEM, so
+    the result is bit-identical to the f32 output cast afterwards.  The
+    product uses this when engine_transfer_dtype quantizes the download
+    anyway (the 1M-cell memmap path)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -195,10 +212,16 @@ def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
         counts = counts.astype(jnp.float32)
     C, G = counts.shape
     Gp = n_tiles * LANE
+    odt = jnp.dtype(out_dtype)
+    if odt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float16),
+                   jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"unsupported out_dtype {out_dtype}")
     tile_r = _pick_tile_r(Gp, n_tiles)
+    # the narrow-out smooth scratch adds one f32 row unit but the
+    # double-buffered out drops to half: net within _pick_tile_r's budget
     if tile_r == 0:
         raise ValueError("gene axis too wide for the fused residual kernel")
-    if counts.dtype.itemsize == 2:
+    if counts.dtype.itemsize == 2 or odt.itemsize == 2:
         # 16-bit VMEM tiling is (16, 128): keep the row band a multiple of 16
         tile_r = max(16, (tile_r // 16) * 16)
     padc = (-C) % tile_r
@@ -213,12 +236,15 @@ def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
+    scratch = [pltpu.VMEM((tile_r, Gp + 2 * LANE), jnp.float32)]
+    if odt != jnp.dtype(jnp.float32):
+        scratch.append(pltpu.VMEM((tile_r, Gp), jnp.float32))
     out = pl.pallas_call(
         functools.partial(_residual_band_kernel, n=num_genes,
                           n_tiles=n_tiles, D=D, mct=float(mct),
                           center_mean=center_mean,
                           bf16=(matmul_dtype == "bfloat16")),
-        out_shape=jax.ShapeDtypeStruct((C + padc, Gp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C + padc, Gp), odt),
         grid=((C + padc) // tile_r,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
@@ -233,9 +259,7 @@ def residual_fused_pallas(counts, w_stacked, b1min, b1max, b2min, b2max,
         ],
         out_specs=pl.BlockSpec((tile_r, Gp), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile_r, Gp + 2 * LANE), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )(jnp.asarray(norm_factor, jnp.float32).reshape(1, 1), cp,

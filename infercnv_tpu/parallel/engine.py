@@ -53,6 +53,13 @@ class EngineConfig:
     #: residual kernel (result is exact for any value; 1 measured fastest
     #: on v5e — fewer VPU compare+reduce sweeps than 2)
     median_radix_bits: int = 1
+    #: dtype the TRANSFORM path's residual is stored/returned in
+    #: ("float32" | "float16" | "bfloat16").  Narrow dtypes halve the HBM
+    #: write and download bytes; rounding happens only at the final store,
+    #: bit-identical to casting the f32 result.  Internal consumers
+    #: (Viterbi, denoise, group sums in full/subcluster chunks) always see
+    #: the f32 residual regardless.
+    out_dtype: str = "float32"
 
 
 class CnvEngine:
@@ -205,7 +212,8 @@ class CnvEngine:
 
         return _apply_banded(x, self._blocks, n_tiles, side_tiles, num_genes)
 
-    def _residual(self, counts, norm_factor, ref_means_log, ref_means_resid):
+    def _residual(self, counts, norm_factor, ref_means_log, ref_means_resid,
+                  out_dtype: str = "float32"):
         cfg = self.config
         from infercnv_tpu.ops.median import (
             median_center_residual_pallas,
@@ -239,7 +247,7 @@ class CnvEngine:
                 norm_factor, n_tiles, num_genes,
                 D=cfg.median_radix_bits, mct=cfg.max_centered_threshold,
                 center_mean=(cfg.center_method != "median"),
-                matmul_dtype=cfg.matmul_dtype,
+                matmul_dtype=cfg.matmul_dtype, out_dtype=out_dtype,
                 interpret=self._pallas_interpret)
         cs = jnp.sum(counts, axis=1, keepdims=True)
         x = jnp.log2(counts / cs * norm_factor + 1.0)
@@ -268,7 +276,7 @@ class CnvEngine:
             gmax = jnp.max(ref_means_resid, axis=0)
             resid = median_center_residual_pallas(
                 yp, gmin, gmax, num_genes, interpret=self._pallas_interpret)
-            return resid[:, :num_genes]
+            return resid[:, :num_genes].astype(jnp.dtype(out_dtype))
         x = self._smooth(x)
         if cfg.center_method == "median":
             # exact radix-select (no sort); the Pallas kernel keeps all 16
@@ -281,7 +289,7 @@ class CnvEngine:
         else:
             x = x - jnp.mean(x, axis=1, keepdims=True)
         x = self._subtract(x, ref_means_resid)
-        return jnp.exp2(x)
+        return jnp.exp2(x).astype(jnp.dtype(out_dtype))
 
     def _denoise(self, resid, noise_bounds):
         """clear_noise_via_ref_mean_sd (reference inferCNV_ops.R:2302-2346):
@@ -427,7 +435,11 @@ class CnvEngine:
         return ml, mr, jnp.asarray(np.array([mean_ref, sd_ref], np.float32))
 
     def _transform_impl(self, counts, norm_factor, ref_means_log, ref_means_resid):
-        return self._residual(counts, norm_factor, ref_means_log, ref_means_resid)
+        # only the transform path (download-bound product step) narrows;
+        # _full/_subcluster consume the residual in-program and stay f32
+        return self._residual(counts, norm_factor, ref_means_log,
+                              ref_means_resid,
+                              out_dtype=self.config.out_dtype)
 
     def _full_impl(self, counts, norm_factor, ref_means_log, ref_means_resid,
                    noise_bounds):

@@ -229,6 +229,20 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
     log_info("STEPS 04-14: fused engine transform (use_engine fast path"
              + (f", {n_dev}-device cell mesh)" if mesh is not None else ")"))
     with timer.step("04-14_engine_transform"):
+        # decide device-residency BEFORE building the engine: when chunks
+        # are kept on device for step 15 they must stay f32, otherwise the
+        # engine can store the residual in the download dtype directly
+        # (half the HBM write + link bytes; rounding identical to the
+        # post-hoc cast — see residual_fused.py out_dtype)
+        resid_bytes = 2.2 * obj.num_cells * obj.num_genes * 4
+        keep_device = (cfg.analysis_mode == "subclusters"
+                       and cfg.tumor_subcluster_partition_method == "leiden"
+                       and not cfg.per_chr_hmm_subclusters
+                       and mesh is None
+                       and resid_bytes < 11e9)
+        tdtype = cfg.engine_transfer_dtype
+        kernel_out = (tdtype if (tdtype in ("float16", "bfloat16")
+                                 and not keep_device) else "float32")
         ecfg = EngineConfig(
             window_length=cfg.window_length,
             smooth_method=cfg.smooth_method,
@@ -236,6 +250,7 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
             ref_subtract_use_bounds=cfg.ref_subtract_use_mean_bounds,
             center_method="median",
             denoise=False,
+            out_dtype=kernel_out,
         )
         # transform-only use: HMM params are placeholders
         params = HMMParams(means=np.arange(1.0, 7.0), sds=np.ones(6), t=1e-6)
@@ -267,12 +282,15 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
                             shape=(obj.num_cells, obj.num_genes))
         else:
             out = np.empty((obj.num_cells, obj.num_genes), np.float32)
-        tdtype = cfg.engine_transfer_dtype
         if tdtype is not None and tdtype != "float32":
             import jax.numpy as _jnp
 
-            log_info(f"-engine chunk downloads as {tdtype}")
-            _tcast = lambda r: r.astype(getattr(_jnp, tdtype))  # noqa: E731
+            log_info(f"-engine chunk downloads as {tdtype}"
+                     + (" (kernel-direct)" if kernel_out == tdtype else ""))
+            if kernel_out == tdtype:
+                _tcast = lambda r: r  # kernel already stored narrow  # noqa: E731
+            else:
+                _tcast = lambda r: r.astype(getattr(_jnp, tdtype))  # noqa: E731
         else:
             _tcast = lambda r: r  # noqa: E731
         # double-buffered streaming: dispatch chunk i+1 before blocking on
@@ -283,12 +301,7 @@ def _run_engine_residual(obj: InferCNV, cfg: RunConfig, timer: StepTimer) -> Non
         # retaining the residual on device costs ~2x C*G*4 bytes of HBM
         # (chunks + step 15's gene-filtered copy); guard so matrices that
         # only fit BECAUSE of chunked streaming don't OOM the chip
-        resid_bytes = 2.2 * obj.num_cells * obj.num_genes * 4
-        keep_device = (cfg.analysis_mode == "subclusters"
-                       and cfg.tumor_subcluster_partition_method == "leiden"
-                       and not cfg.per_chr_hmm_subclusters
-                       and mesh is None
-                       and resid_bytes < 11e9)
+        # (keep_device/resid_bytes computed above, before the engine build)
         device_chunks = [] if keep_device else None
         pending = []
         for b in range(0, C, chunk):

@@ -259,3 +259,34 @@ def test_residual_band_kernel_u16_counts_exact(rng):
     r16 = np.asarray(eng.transform_chunk(counts, nf, ml, mr))
     r32 = np.asarray(eng.transform_chunk(counts.astype(np.float32), nf, ml, mr))
     np.testing.assert_array_equal(r16, r32)
+
+
+def test_residual_band_kernel_f16_out_matches_cast(rng):
+    """out_dtype='float16' stores the kernel's f32 result rounded at the
+    final write — BIT-IDENTICAL to casting the f32 output afterwards (the
+    smooth/median intermediates stay f32 in the dedicated scratch)."""
+    from infercnv_tpu.models.hmm import HMMParams
+    from infercnv_tpu.parallel.engine import CnvEngine, EngineConfig
+
+    go = _gene_order([150, 100, 57])
+    hmm = HMMParams(means=np.array([0.01, 0.5, 1.0, 1.5, 2.0, 3.0]),
+                    sds=np.full(6, 0.15), t=1e-6)
+    gm = rng.gamma(2.0, 30.0, go.num_genes).astype(np.float32)
+    counts = rng.poisson(gm[None, :], (40, go.num_genes)).astype(np.uint16)
+    refc = counts[:16].astype(np.float32)
+    nf = float(np.median(counts.sum(axis=1, dtype=np.int64)))
+    e32 = CnvEngine(go, hmm, EngineConfig(denoise=False), use_pallas=True)
+    ml, mr, _ = e32.ref_stats(refc, nf)
+    r32 = np.asarray(e32.transform_chunk(counts, nf, ml, mr))
+    for odt in ("float16", "bfloat16"):
+        en = CnvEngine(go, hmm, EngineConfig(denoise=False, out_dtype=odt),
+                       use_pallas=True)
+        rn = np.asarray(en.transform_chunk(counts, nf, ml, mr))
+        assert rn.dtype == np.dtype(odt if odt == "float16" else jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(rn), np.asarray(jnp.asarray(r32).astype(rn.dtype)))
+    # the unfused fallback honors out_dtype too (API contract)
+    exla = CnvEngine(go, hmm, EngineConfig(denoise=False, out_dtype="float16"),
+                     use_pallas=False)
+    rx = np.asarray(exla.transform_chunk(counts.astype(np.float32), nf, ml, mr))
+    assert rx.dtype == np.float16
