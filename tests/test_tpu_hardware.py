@@ -62,6 +62,24 @@ op = smoothing_operator(go, 101, "pyramidinal")
 sm = np.asarray(apply_banded_operator_pallas(jnp.asarray(x), op))
 ref = np.asarray(apply_banded_operator(jnp.asarray(x), op))
 assert np.abs(sm - ref).max() < 1e-6, "TPU Pallas smooth != XLA banded"
+
+# fused residual band kernel, compiled: u16 counts and kernel-direct f16
+# output must match the f32 kernel bit-for-bit (after rounding)
+gm = rng.gamma(2.0, 30.0, G).astype(np.float32)
+counts = rng.poisson(gm[None, :], (64, G)).astype(np.uint16)
+refc = counts[:16].astype(np.float32)
+nf = float(np.median(counts.sum(axis=1, dtype=np.int64)))
+e32 = CnvEngine(go, hmm, EngineConfig(denoise=False), use_pallas=True)
+ml, mr, _ = e32.ref_stats(refc, nf)
+assert e32._w_stacked is not None, "fused band kernel inactive on this genome"
+r32 = np.asarray(e32.transform_chunk(counts, nf, ml, mr))
+rf32 = np.asarray(e32.transform_chunk(counts.astype(np.float32), nf, ml, mr))
+assert np.array_equal(r32, rf32), "TPU u16 counts != f32 counts through fused kernel"
+e16 = CnvEngine(go, hmm, EngineConfig(denoise=False, out_dtype="float16"),
+                use_pallas=True)
+r16 = np.asarray(e16.transform_chunk(counts, nf, ml, mr))
+assert r16.dtype == np.float16
+assert np.array_equal(r16, r32.astype(np.float16)), "TPU f16-out != cast(f32-out)"
 print("TPU_PALLAS_OK")
 """
 
